@@ -1,0 +1,58 @@
+"""The six social-entity regex families, pinned to the reference.
+
+Patterns transcribed from /root/reference/custom/social.js:145-222
+(email :146-148, instagram :157-159, facebook :169-171, twitter
+:181-183, github :193-195, phones :205-211). The same pattern strings
+feed Python ``re`` (serial oracle) and Spark ``regexp_extract_all``
+(engine) — both use non-overlapping left-to-right matching like JS
+``String.match(/g)``, so results agree.
+
+Note the reference's idiosyncrasies are preserved deliberately:
+``[A-z]`` (which also matches ``[\\]^_`` + backtick), the ``(?!p/)`` /
+``(?!share\\.php)`` / ``(?!intent/)`` exclusions, and that linkedin is
+declared in the result dict but never extracted (social.js:27 vs
+:224-231).
+"""
+
+from __future__ import annotations
+
+import re
+
+EMAIL = (
+    r'(([^<>()\[\]\\.,;:\s@"]+(\.[^<>()\[\]\\.,;:\s@"]+)*)|(".+"))'
+    r"@((\[[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}])|(([a-zA-Z\-0-9]+\.)+[a-zA-Z]{2,}))"
+)
+INSTAGRAM = (
+    r"https?://(www\.)?instagram\.com/(?!p/)"
+    r"([A-Za-z0-9_](?:(?:[A-Za-z0-9_]|(?:\.(?!\.))){0,28}(?:[A-Za-z0-9_]))?)"
+)
+FACEBOOK = r"http(s)?://(www\.)?(facebook|fb)\.com/(?!share\.php)[A-z0-9_\-\.]+/?"
+TWITTER = r"http(s)?://(.*\.)?twitter\.com/(?!intent/)[A-z0-9_]{1,100}/?"
+GITHUB = r"http(s)?://(www\.)?github\.com/[A-z0-9_-]+/?"
+PHONE_DE = r"\(?\+\(?49\)?[ ()]?([- ()]?\d[- ()]?){10}"
+PHONE_GENERIC = r"[\+]?[(]?[0-9]{3}[)]?[-\s\.]?[0-9]{3}[-\s\.]?[0-9]{4,6}"
+
+# kind -> list of patterns applied in order, matches concatenated
+# (phones: two regex passes appended, social.js:213-221)
+FAMILIES: dict[str, list[str]] = {
+    "email": [EMAIL],
+    "phone": [PHONE_DE, PHONE_GENERIC],
+    "facebook": [FACEBOOK],
+    "twitter": [TWITTER],
+    "instagram": [INSTAGRAM],
+    "github": [GITHUB],
+}
+
+# accumulation order across kinds follows extractSocialInformation
+# (social.js:224-231): emails, phones, facebook, twitter, instagram, github
+KIND_ORDER = ["email", "phone", "facebook", "twitter", "instagram", "github"]
+
+_COMPILED = {k: [re.compile(p) for p in pats] for k, pats in FAMILIES.items()}
+
+
+def extract_py(kind: str, html: str) -> list[str]:
+    """Python twin: full-match strings in document order, per pattern pass."""
+    out: list[str] = []
+    for rx in _COMPILED[kind]:
+        out.extend(m.group(0) for m in rx.finditer(html))
+    return out

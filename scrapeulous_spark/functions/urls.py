@@ -1,0 +1,105 @@
+"""URL normalization semantics, pinned to the reference's literal behavior.
+
+Two twins of the SAME semantics live here:
+  * plain-Python functions (used by the serial oracle and the corpus
+    generator), and
+  * Spark Column expressions (used by the engine) — see
+    :func:`resolve_col`, :func:`normalize_col`, :func:`host_col`.
+
+Pinned reference behaviors (/root/reference/custom/social.js):
+  * resolve: ``new URL(link, parsed_url.origin)`` — social.js:109.
+    Our synthetic corpus emits only absolute (``http(s)://...``) and
+    root-relative (``/path``) hrefs, so resolution is origin + path.
+  * normalize: ``url_string.replace(/#/g, '')`` — social.js:121-123.
+    NOTE: this removes every ``#`` CHARACTER, it does not strip the
+    fragment — ``http://h/p#sec`` becomes ``http://h/psec``. That is
+    the code's actual behavior and the north rule demands exact
+    seen-set match, so we reproduce it literally.
+  * same-host gate: exact hostname equality — social.js:115-119
+    (``stay_within_domain`` is always coerced true, social.js:48-50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- python twin
+
+
+def host_of(url: str) -> str:
+    """Hostname of an absolute http(s) URL (lowercased; no port support
+    needed — the synthetic corpus never emits ports)."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    return rest.split("/", 1)[0].lower()
+
+
+def origin_of(url: str) -> str:
+    scheme, rest = url.split("://", 1)
+    return scheme + "://" + rest.split("/", 1)[0]
+
+
+def path_of(url: str) -> str:
+    rest = url.split("://", 1)[1] if "://" in url else url
+    i = rest.find("/")
+    return rest[i:] if i >= 0 else "/"
+
+
+def resolve(link: str, seed_origin: str) -> str | None:
+    """Resolve an href against the seed page origin. Returns None for
+    unparseable links (oracle: ``continue`` on parse error, social.js:110-113).
+    """
+    link = link.strip()
+    if not link:
+        return None
+    if link.startswith("http://") or link.startswith("https://"):
+        if "://" not in link or not link.split("://", 1)[1]:
+            return None
+        return link
+    if link.startswith("/"):
+        return seed_origin + link
+    # other forms (scheme-relative, mailto:, javascript:) -> unparseable here
+    return None
+
+
+def normalize(url: str) -> str:
+    """The reference's literal '#'-removal normalization (social.js:122)."""
+    return url.replace("#", "")
+
+
+# ----------------------------------------------------------------- spark twin
+
+
+def host_col(url: Column) -> Column:
+    """Hostname column expr — ``parse_url(url, 'HOST')`` equivalent kept as
+    string ops so it also works on already-normalized synthetic URLs."""
+    return F.lower(F.split_part(F.split_part(url, F.lit("://"), F.lit(-1)), F.lit("/"), F.lit(1)))
+
+
+def origin_col(url: Column) -> Column:
+    return F.concat(
+        F.split_part(url, F.lit("://"), F.lit(1)),
+        F.lit("://"),
+        F.split_part(F.split_part(url, F.lit("://"), F.lit(-1)), F.lit("/"), F.lit(1)),
+    )
+
+
+def path_col(url: Column) -> Column:
+    rest = F.split_part(url, F.lit("://"), F.lit(-1))
+    slash = F.instr(rest, "/")
+    return F.when(slash > 0, F.substring(rest, slash, F.lit(1 << 20))).otherwise(F.lit("/"))
+
+
+def resolve_col(link: Column, seed_origin: Column) -> Column:
+    """Spark twin of :func:`resolve` (NULL == unparseable)."""
+    link = F.trim(link)
+    return (
+        F.when(link == "", F.lit(None).cast("string"))
+        .when(link.startswith("http://") | link.startswith("https://"), link)
+        .when(link.startswith("/"), F.concat(seed_origin, link))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def normalize_col(url: Column) -> Column:
+    return F.replace(url, F.lit("#"), F.lit(""))

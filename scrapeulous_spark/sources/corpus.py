@@ -1,0 +1,330 @@
+"""Deterministic synthetic corpus generator (seed=42, no network).
+
+Produces the five input tables from FIXTURES.md as pyarrow tables and
+writes them as parquet under a cache dir:
+
+  images  (image_id, bytes, w, h, fmt, caption, phash)   -- BASELINE.json input_hint shape
+  pages   (url, host, status, fetch_ms, out_links, image_id, caption, title, body)
+  seeds   (seed_id, url, priority)
+  robots  (host, disallow, crawl_delay_ms)
+  budgets (host, max_requests)
+
+Everything is a pure function of (seed, scale params): the payload
+validator re-derives original pixels from image_id alone, which is how
+the PSNR-vs-reference invariant is checked without PIL or a second
+copy of the data.
+
+Graph shape per FIXTURES.md §2: per-host trees + cross-host edges +
+hot-host skew (host 0 owns ~30% of URLs) + fragment/duplicate/relative
+link variants to exercise the seen-set semantics of
+/root/reference/custom/social.js:103-143.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codec.png import encode, quantize, png_decode
+from ..codec.phash import phash64
+
+MASTER_SEED = 42
+
+_CAPTION_WORDS = [
+    "sunset", "harbor", "café", "montaña", "skyline", "fjord", "garden",
+    "naïve", "bridge", "über", "panorama", "mosaic", "lantern", "Straße",
+]
+
+
+def _rng(*parts) -> np.random.Generator:
+    """Deterministic per-entity RNG: seed derived from crc32 of the key."""
+    key = ":".join(str(p) for p in (MASTER_SEED,) + parts)
+    return np.random.default_rng(zlib.crc32(key.encode()) & 0xFFFFFFFF)
+
+
+@dataclass(frozen=True)
+class CorpusParams:
+    n_images: int = 100
+    n_hosts: int = 8
+    n_pages: int = 240
+    n_seeds: int = 12
+    img_w: int = 32
+    img_h: int = 24
+    max_links: int = 14
+
+    @property
+    def tag(self) -> str:
+        return (
+            f"i{self.n_images}_h{self.n_hosts}_p{self.n_pages}"
+            f"_s{self.n_seeds}_{self.img_w}x{self.img_h}_l{self.max_links}"
+        )
+
+
+SMOKE = CorpusParams()
+CORRECTNESS = CorpusParams(n_images=5000, n_hosts=24, n_pages=12000, n_seeds=120)
+BENCH = CorpusParams(n_images=20000, n_hosts=64, n_pages=100000, n_seeds=4000, max_links=20)
+
+
+# ------------------------------------------------------------------- images
+
+
+def image_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient+noise pixels for an image_id (original,
+    pre-quantization pixels — the 'reference payload')."""
+    rng = _rng("img", image_id)
+    gx = np.linspace(0, 255, w)
+    gy = np.linspace(0, 255, h)
+    base = (gy[:, None] * 0.5 + gx[None, :] * 0.5)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    freq = rng.uniform(0.05, 0.3, size=3)
+    chans = [
+        base * rng.uniform(0.4, 1.0)
+        + 40 * np.sin(freq[c] * (gy[:, None] + gx[None, :]) + phase[c])
+        + rng.normal(0, 6, size=(h, w))
+        for c in range(3)
+    ]
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+
+def _caption(image_id: str) -> str:
+    rng = _rng("cap", image_id)
+    k = int(rng.integers(3, 7))
+    words = [
+        _CAPTION_WORDS[int(i)] for i in rng.integers(0, len(_CAPTION_WORDS), size=k)
+    ]
+    # exercise the ' · ' and ' - ' split ops (google_scraper.js:359; bing_scraper.js:634)
+    sep = " · " if rng.random() < 0.5 else " - "
+    return sep.join([" ".join(words[: k // 2 + 1]), " ".join(words[k // 2 + 1 :]) or "view"])
+
+
+def gen_images(p: CorpusParams) -> pa.Table:
+    ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
+    for i in range(p.n_images):
+        image_id = f"img_{i:08d}"
+        pix = image_pixels(image_id, p.img_w, p.img_h)
+        fmt = "qpng" if i % 3 == 0 else "png"
+        stored = quantize(pix) if fmt == "qpng" else pix
+        ids.append(image_id)
+        blobs.append(encode(pix, fmt))
+        ws.append(p.img_w)
+        hs.append(p.img_h)
+        fmts.append(fmt)
+        captions.append(_caption(image_id))
+        phashes.append(phash64(stored))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+# -------------------------------------------------------------------- pages
+
+
+def _host_sizes(p: CorpusParams) -> list[int]:
+    """Host 0 is the hot host with ~30% of all pages (skew fixture)."""
+    hot = max(1, int(p.n_pages * 0.3))
+    rest = p.n_pages - hot
+    base = [rest // (p.n_hosts - 1)] * (p.n_hosts - 1)
+    for i in range(rest - sum(base)):
+        base[i % len(base)] += 1
+    return [hot] + base
+
+
+def _entity_snippets(rng: np.random.Generator, gi: int) -> list[str]:
+    """Body fragments matching (and near-missing) the six regex families
+    of social.js:145-222."""
+    out = []
+    if rng.random() < 0.5:
+        out.append(f"contact us at user{gi % 97}@mail{gi % 13}.example.com today")
+    if rng.random() < 0.3:
+        out.append(f"or sales{gi % 31}@corp.example.org.")
+    if rng.random() < 0.35:
+        out.append(f"call +49 30 12 345 678 90 now")
+    if rng.random() < 0.35:
+        out.append(f"tel (555) 123-{4000 + gi % 999}")
+    if rng.random() < 0.4:
+        out.append(f"follow https://twitter.com/user_{gi % 53}")
+    if rng.random() < 0.2:
+        out.append("https://twitter.com/intent/tweet?text=no")  # excluded by regex
+    if rng.random() < 0.4:
+        out.append(f"code at https://github.com/dev-{gi % 41}")
+    if rng.random() < 0.35:
+        out.append(f"pics https://www.instagram.com/insta{gi % 29}")
+    if rng.random() < 0.2:
+        out.append("https://instagram.com/p/ABC123")  # excluded (?!p/)
+    if rng.random() < 0.35:
+        out.append(f"https://facebook.com/page.{gi % 37}/")
+    if rng.random() < 0.2:
+        out.append("https://facebook.com/share.php?u=x")  # excluded (?!share.php)
+    return out
+
+
+def gen_pages(p: CorpusParams) -> pa.Table:
+    sizes = _host_sizes(p)
+    hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
+    urls: list[str] = []
+    url_host: list[str] = []
+    for hi, n in enumerate(sizes):
+        for j in range(n):
+            urls.append(f"http://{hosts[hi]}/p{j}")
+            url_host.append(hosts[hi])
+    n = len(urls)
+
+    statuses, fetch_ms, out_links, image_ids, captions, titles, bodies = (
+        [], [], [], [], [], [], [],
+    )
+    # precompute captions for linked images lazily
+    host_page_count = dict(zip(hosts, sizes))
+    for gi, (url, host) in enumerate(zip(urls, url_host)):
+        rng = _rng("page", url)
+        r = rng.random()
+        status = "ok" if r < 0.90 else ("partial" if r < 0.94 else ("error" if r < 0.98 else "blocked"))
+        statuses.append(status)
+        fetch_ms.append(int(rng.integers(20, 500)))
+
+        n_here = host_page_count[host]
+        k = int(rng.integers(2, p.max_links + 1))
+        links: list[str] = []
+        for _ in range(k):
+            t = rng.random()
+            tgt = int(rng.integers(0, n_here))
+            if t < 0.45:
+                links.append(f"/p{tgt}")  # root-relative, same host
+            elif t < 0.65:
+                links.append(f"http://{host}/p{tgt}")  # absolute, same host
+            elif t < 0.75:
+                links.append(f"/p{tgt}#s{int(rng.integers(1, 4))}")  # fragment variant
+            elif t < 0.90:
+                oh = hosts[int(rng.integers(0, p.n_hosts))]
+                links.append(f"http://{oh}/p{int(rng.integers(0, host_page_count[oh]))}")  # cross-host
+            elif t < 0.95:
+                links.append("mailto:someone@example.com")  # unparseable for resolver
+            else:
+                links.append("")  # dropped by getLinks href-nonempty gate
+        # guaranteed duplicates to exercise first-occurrence dedup (social.js:127)
+        if len(links) >= 2:
+            links.append(links[0])
+            links.append(links[1])
+        out_links.append(links)
+
+        if rng.random() < 0.6 and p.n_images > 0:
+            img = f"img_{int(rng.integers(0, p.n_images)):08d}"
+        else:
+            img = None
+        image_ids.append(img)
+        captions.append(_caption(img) if img else None)
+        titles.append(f"  Page {host}/p{gi % n_here} — {_CAPTION_WORDS[gi % len(_CAPTION_WORDS)]}  ")
+        body_bits = [f"<html><title>{titles[-1]}</title><body>Lorem ipsum {gi} on {host}."]
+        body_bits += _entity_snippets(rng, gi)
+        body_bits.append("</body></html>")
+        bodies.append(" ".join(body_bits))
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(url_host, pa.string()),
+            "status": pa.array(statuses, pa.string()),
+            "fetch_ms": pa.array(fetch_ms, pa.int32()),
+            "out_links": pa.array(out_links, pa.list_(pa.string())),
+            "image_id": pa.array(image_ids, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "body": pa.array(bodies, pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------------- seeds/robots/budgets
+
+
+def gen_seeds(p: CorpusParams, pages: pa.Table) -> pa.Table:
+    urls = pages.column("url").to_pylist()
+    rng = _rng("seeds")
+    chosen = sorted(set(int(i) for i in rng.integers(0, len(urls), size=p.n_seeds * 2)))[: p.n_seeds - 1]
+    seed_urls = [urls[i] for i in chosen]
+    seed_urls.append("not a valid url")  # invalid-seed path (social.js:34-40)
+    return pa.table(
+        {
+            "seed_id": pa.array(range(len(seed_urls)), pa.int64()),
+            "url": pa.array(seed_urls, pa.string()),
+            "priority": pa.array(
+                [round(float(x), 3) for x in _rng("prio").uniform(0, 1, len(seed_urls))],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def gen_robots(p: CorpusParams) -> pa.Table:
+    hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
+    dis, delays = [], []
+    for h in hosts:
+        rng = _rng("robots", h)
+        d = []
+        if rng.random() < 0.5:
+            d.append(f"/p{int(rng.integers(0, 9))}")
+        if rng.random() < 0.2:
+            d.append("/admin")
+        dis.append(d)
+        delays.append(int(rng.integers(0, 200)))
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "disallow": pa.array(dis, pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array(delays, pa.int32()),
+        }
+    )
+
+
+def gen_budgets(p: CorpusParams) -> pa.Table:
+    hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
+    vals = [int(_rng("budget", h).integers(0, 9)) for h in hosts]
+    return pa.table(
+        {"host": pa.array(hosts, pa.string()), "max_requests": pa.array(vals, pa.int32())}
+    )
+
+
+# ------------------------------------------------------------------ assembly
+
+
+def generate(p: CorpusParams, out_dir: str) -> dict[str, str]:
+    """Generate all five tables under out_dir (idempotent via tag marker).
+    Returns {table_name: parquet_path}."""
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f".done_{p.tag}")
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("images", "pages", "seeds", "robots", "budgets")
+    }
+    if os.path.exists(marker):
+        return paths
+    images = gen_images(p)
+    pages = gen_pages(p)
+    pq.write_table(images, paths["images"])
+    pq.write_table(pages, paths["pages"])
+    pq.write_table(gen_seeds(p, pages), paths["seeds"])
+    pq.write_table(gen_robots(p), paths["robots"])
+    pq.write_table(gen_budgets(p), paths["budgets"])
+    with open(marker, "w") as f:
+        f.write(p.tag)
+    return paths
+
+
+def default_cache_dir(p: CorpusParams) -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "corpus", p.tag)
+
+
+def ensure_corpus(p: CorpusParams) -> dict[str, str]:
+    return generate(p, default_cache_dir(p))
