@@ -70,24 +70,26 @@ def normalize(url: str) -> str:
 # ----------------------------------------------------------------- spark twin
 
 
+# NOTE: each op is ONE regexp_extract, not a nested split_part chain.
+# Catalyst's CollapseProject re-expands column references into their
+# defining expressions, so a nested chain referenced through several
+# projections blows up into a huge duplicated tree whose analysis +
+# codegen dominates small-batch latency (measured: 19s to compile a
+# 73-row groupBy before this change).
+
+
 def host_col(url: Column) -> Column:
-    """Hostname column expr — ``parse_url(url, 'HOST')`` equivalent kept as
-    string ops so it also works on already-normalized synthetic URLs."""
-    return F.lower(F.split_part(F.split_part(url, F.lit("://"), F.lit(-1)), F.lit("/"), F.lit(1)))
+    """Hostname column expr — ``parse_url(url, 'HOST')`` equivalent."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1))
 
 
 def origin_col(url: Column) -> Column:
-    return F.concat(
-        F.split_part(url, F.lit("://"), F.lit(1)),
-        F.lit("://"),
-        F.split_part(F.split_part(url, F.lit("://"), F.lit(-1)), F.lit("/"), F.lit(1)),
-    )
+    return F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)", 1)
 
 
 def path_col(url: Column) -> Column:
-    rest = F.split_part(url, F.lit("://"), F.lit(-1))
-    slash = F.instr(rest, "/")
-    return F.when(slash > 0, F.substring(rest, slash, F.lit(1 << 20))).otherwise(F.lit("/"))
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
 
 
 def resolve_col(link: Column, seed_origin: Column) -> Column:

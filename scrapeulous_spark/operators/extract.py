@@ -1,0 +1,86 @@
+"""Entity extraction operators — Spark twin of the six regex families.
+
+Reference: extractSocialInformation accumulates matches across pages
+into shared arrays (/root/reference/custom/social.js:59, :85,
+:224-231), then dedups each array first-occurrence-preserving
+(:93-98). Here: regexp_extract_all per family (JVM-side, codegen), an
+explicit ordering key (page_order, family pass, match index) replaces
+"array append order", and the dedup is a window row_number() == 1.
+No Python runs in this path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.entities import FAMILIES, KIND_ORDER
+
+
+def extract_entities_raw(pages: DataFrame) -> DataFrame:
+    """pages: seed_id, page_order (0=seed page, else pop_rank), body.
+    Returns seed_id, kind, page_order, match_pos, value — one row per
+    regex match, ordered like the reference's array appends.
+
+    Single-plan shape (one pass over body, one codegen unit — NOT a
+    6-way self-union, which would rescan the page store per family):
+    build array<struct<kind, matches>> then explode twice."""
+
+    def matches(kind: str):
+        pats = FAMILIES[kind]
+        # concat preserves "pattern-pass order within a page"
+        # (phones: two regex passes appended, social.js:213-221)
+        arr = F.concat(
+            *[F.regexp_extract_all(F.col("body"), F.lit(p), F.lit(0)) for p in pats]
+        )
+        return F.struct(F.lit(kind).alias("kind"), arr.alias("arr"))
+
+    per_kind = pages.select(
+        "seed_id",
+        "page_order",
+        F.explode(F.array(*[matches(k) for k in KIND_ORDER])).alias("e"),
+    )
+    return per_kind.select(
+        "seed_id",
+        F.col("e.kind").alias("kind"),
+        "page_order",
+        F.posexplode("e.arr").alias("match_pos", "value"),
+    )
+
+
+def dedup_entities(raw: DataFrame) -> DataFrame:
+    """First-occurrence dedup per (seed, kind) + dense ord assignment
+    ([...new Set(arr)], social.js:93-98)."""
+    order = [F.col("page_order"), F.col("match_pos")]
+    first = (
+        raw.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("seed_id", "kind", "value").orderBy(*order)
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return first.select(
+        "seed_id",
+        "kind",
+        (
+            F.row_number().over(Window.partitionBy("seed_id", "kind").orderBy(*order)) - 1
+        ).alias("ord"),
+        "value",
+    )
+
+
+def seed_page_titles(seed_pages: DataFrame) -> DataFrame:
+    """page_title entity: trimmed title of the seed page, skipped when
+    empty (social.js:62-65)."""
+    return (
+        seed_pages.select(
+            "seed_id",
+            F.lit("page_title").alias("kind"),
+            F.lit(0).alias("ord"),
+            F.trim(F.col("title")).alias("value"),
+        )
+        .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+    )

@@ -1,0 +1,92 @@
+"""Fetch + payload-validation stages.
+
+Fetch: in the sandbox (no network) a fetch is an equi-join of scheduled
+URLs against the synthetic page store — the in-cluster analog of the
+reference's Got()/page.goto() calls (/root/reference/crawl/http.js:4-7,
+crawl/render.js:8-33). Status semantics: 'ok' and 'partial' yield a
+body (render.js:24-27 partial-content fallback); 'error'/'blocked'
+throw (google_scraper.js:52-67 recaptcha path) — a failed fetch
+consumes a frontier slot but NOT budget (social.js:81-89).
+
+Payload validation: decoded-pixel PSNR + phash + caption invariants
+(BASELINE.json input_hint) via an iterator-of-batches mapInPandas —
+Arrow-vectorized, per-partition init, no per-row Python dispatch. The
+reference pixels are re-derived deterministically from image_id, which
+is what makes the PSNR a real check of the decode path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OK_STATUSES = ("ok", "partial")
+
+
+def fetch_join(urls: DataFrame, pages: DataFrame) -> DataFrame:
+    """urls: must carry a 'url' column. Left-join the page store and
+    stamp fetch_ok. Missing url == network error (throw path)."""
+    page_cols = pages.select(
+        "url", "status", "fetch_ms", "out_links", "image_id", "caption", "title", "body"
+    )
+    joined = urls.join(page_cols, "url", "left")
+    return joined.withColumn(
+        "fetch_ok", F.col("status").isin(*OK_STATUSES) & F.col("status").isNotNull()
+    )
+
+
+PAYLOAD_REPORT_SCHEMA = (
+    "image_id string, fmt string, decode_ok boolean, psnr_db double, "
+    "phash_recomputed bigint, phash_match boolean, pixels_allclose boolean"
+)
+
+
+def validate_payloads(images: DataFrame) -> DataFrame:
+    """images: image_id, bytes, w, h, fmt, phash. Returns the per-row
+    payload-invariant report (decode, PSNR vs re-derived reference
+    pixels, recomputed phash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition init (the analog of one browser per worker,
+        # render.js:12 injected page) — imports resolved once here
+        import numpy as np
+
+        from ..codec.phash import phash64
+        from ..codec.png import png_decode, psnr, quantize
+        from ..sources.corpus import image_pixels
+
+        for pdf in it:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "fmt": pdf["fmt"],
+                "decode_ok": np.zeros(n, dtype=bool),
+                "psnr_db": np.full(n, np.nan),
+                "phash_recomputed": np.zeros(n, dtype=np.int64),
+                "phash_match": np.zeros(n, dtype=bool),
+                "pixels_allclose": np.zeros(n, dtype=bool),
+            }
+            for i in range(n):
+                try:
+                    dec = png_decode(bytes(pdf["bytes"].iloc[i]))
+                except Exception:
+                    continue
+                out["decode_ok"][i] = True
+                ref = image_pixels(pdf["image_id"].iloc[i], int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i]))
+                fmt = pdf["fmt"].iloc[i]
+                p = psnr(ref, dec)
+                out["psnr_db"][i] = 1e9 if p == float("inf") else p
+                ph = phash64(dec)
+                out["phash_recomputed"][i] = ph
+                out["phash_match"][i] = ph == int(pdf["phash"].iloc[i])
+                expected = quantize(ref) if fmt == "qpng" else ref
+                out["pixels_allclose"][i] = bool(np.array_equal(dec, expected))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
+        batches, schema=PAYLOAD_REPORT_SCHEMA
+    )

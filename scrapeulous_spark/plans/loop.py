@@ -1,0 +1,330 @@
+"""Superstep crawl driver — the engine's main loop.
+
+Each superstep is one batch round over snapshot tables (SURVEY.md §3.3):
+
+    frontier ──anti-join seen──► eligible ──robots/budget──► scheduled
+       ▲                                                        │ fetch (join page store)
+       └── MERGE new links ◄── expand/clean/dedup ◄── pages ────┤
+                                                                └► entities, payload report
+
+Checkpoints: every table commit is a snapshot (tables.py); engine state
+(superstep counter) is saved after each superstep, so a killed run
+resumes from the last committed snapshot pair and produces
+byte-identical results (tested in test_resume.py).
+
+Determinism: all ordering lives in explicit keys (seed_id, step,
+first_pos) — never in partition layout — so crawl_order and seen_set
+are invariant under local[8] vs local[32] (the two-cluster-size
+criterion evidence).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from ..operators.extract import dedup_entities, extract_entities_raw, seed_page_titles
+from ..operators.fetch import fetch_join, validate_payloads
+from ..operators.frontier import expand_candidates, schedule_pops
+from ..sources.tables import Warehouse
+
+CRAWL_ORDER = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("step", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("fetch_ok", T.BooleanType()),
+    ]
+)
+SEEN = T.StructType([T.StructField("url", T.StringType())])
+ENTITIES = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+ENTITIES_RAW = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("page_order", T.IntegerType()),
+        T.StructField("match_pos", T.IntegerType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+FRONTIER = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("first_pos", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+PAYLOAD_REPORT = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("phash_recomputed", T.LongType()),
+        T.StructField("phash_match", T.BooleanType()),
+        T.StructField("pixels_allclose", T.BooleanType()),
+        T.StructField("caption_match", T.BooleanType()),
+    ]
+)
+METRICS = T.StructType(
+    [
+        T.StructField("superstep", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("ok_rows", T.LongType()),
+        T.StructField("body_bytes", T.LongType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+
+class CrawlEngine:
+    """Batch-iterative crawl engine over a snapshot-table warehouse."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        corpus_paths: dict[str, str],
+        link_depth: int = 1,
+        validate_images: bool = True,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(warehouse_root)
+        self.paths = corpus_paths
+        self.link_depth = link_depth
+        self.validate_images = validate_images
+        self.crawl_order = self.wh.table("crawl_order", CRAWL_ORDER)
+        self.seen = self.wh.table("seen", SEEN)
+        self.entities = self.wh.table("entities", ENTITIES)
+        self.entities_raw = self.wh.table("entities_raw", ENTITIES_RAW)
+        self.frontier = self.wh.table("frontier", FRONTIER)
+        self.payload_report = self.wh.table("payload_report", PAYLOAD_REPORT)
+        self.metrics = self.wh.table("metrics", METRICS)
+
+    # ------------------------------------------------------------ inputs
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.paths[name])
+
+    # ----------------------------------------------------------- metrics
+
+    def _record_metrics(self, superstep: int, stage: str, df: DataFrame, wall_ms: float):
+        m = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias("ok_rows"),
+                F.coalesce(F.sum(F.length("body").cast("long")), F.lit(0)).alias("body_bytes"),
+            )
+            .select(
+                F.lit(superstep).alias("superstep"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                "ok_rows",
+                "body_bytes",
+                F.lit(wall_ms).alias("wall_ms"),
+            )
+        )
+        self.metrics.append(m, lineage={"superstep": superstep, "stage": stage})
+
+    def _update_seen(self, urls: DataFrame, superstep: int):
+        """Exact seen-set MERGE: distinct new urls anti-joined against the
+        current seen table (Bloom prefilter optional — see seen.py; it
+        only prunes, exactness comes from this anti-join)."""
+        new = urls.select("url").distinct().join(self.seen.read(self.spark), "url", "left_anti")
+        self.seen.append(new, lineage={"superstep": superstep})
+
+    # --------------------------------------------------------- supersteps
+
+    def _superstep_seeds(self):
+        t0 = time.time()
+        seeds = self._read("seeds")
+        pages = self._read("pages")
+        robots = self._read("robots")
+
+        is_valid = F.col("url").startswith("http://") | F.col("url").startswith("https://")
+        invalid = seeds.filter(~is_valid)
+        self.entities.append(
+            invalid.select(
+                "seed_id",
+                F.lit("invalid_url").alias("kind"),
+                F.lit(0).alias("ord"),
+                F.col("url").alias("value"),
+            ),
+            lineage={"superstep": 0, "stage": "invalid_seeds"},
+        )
+
+        fetched = fetch_join(seeds.filter(is_valid).select("seed_id", "url"), pages)
+        fetched = fetched.persist()
+        self.crawl_order.append(
+            fetched.select(
+                "seed_id",
+                F.lit(0).cast("long").alias("step"),
+                "url",
+                F.lit(0).alias("depth"),
+                "fetch_ok",
+            ),
+            lineage={"superstep": 0},
+        )
+        ok = fetched.filter("fetch_ok")
+
+        # entity matches from seed pages (page_order 0)
+        raw = extract_entities_raw(
+            ok.select("seed_id", F.lit(0).alias("page_order"), "body")
+        )
+        self.entities_raw.append(raw, lineage={"superstep": 0})
+        self.entities.append(
+            seed_page_titles(ok.select("seed_id", "title")), lineage={"superstep": 0}
+        )
+
+        # frontier expansion (depth-1 gate: only when link_depth > 0,
+        # social.js:67-76 — and only from the seed page)
+        if self.link_depth > 0:
+            cands = expand_candidates(
+                ok.select("seed_id", "url", "out_links"), robots
+            ).withColumn("depth", F.lit(1))
+            self.frontier.overwrite(cands, lineage={"superstep": 0})
+        self._update_seen(
+            fetched.select(U.normalize_col(F.col("url")).alias("url")).unionByName(
+                self.frontier.read(self.spark).select("url")
+            ),
+            superstep=0,
+        )
+        self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
+        fetched.unpersist()
+
+    def _superstep_depth1(self):
+        t0 = time.time()
+        pages = self._read("pages")
+        budgets = self._read("budgets")
+        frontier = self.frontier.read(self.spark)
+
+        status = fetch_join(frontier, pages)
+        sched = schedule_pops(status, budgets).persist()
+        popped = sched.filter("scheduled")
+        self.crawl_order.append(
+            popped.select(
+                "seed_id",
+                F.col("pop_rank").cast("long").alias("step"),
+                "url",
+                F.lit(1).alias("depth"),
+                "fetch_ok",
+            ),
+            lineage={"superstep": 1},
+        )
+        raw = extract_entities_raw(
+            popped.filter("fetch_ok").select(
+                "seed_id", F.col("pop_rank").cast("int").alias("page_order"), "body"
+            )
+        )
+        self.entities_raw.append(raw, lineage={"superstep": 1})
+
+        # leftover frontier (budget-exhausted rows) stays popped-out
+        remaining = sched.filter(~F.col("scheduled")).select(*[f.name for f in FRONTIER.fields])
+        self.frontier.overwrite(remaining, lineage={"superstep": 1, "stage": "drain"})
+        self._record_metrics(1, "depth1_fetch", sched, (time.time() - t0) * 1e3)
+        sched.unpersist()
+
+    def _finalize(self):
+        # per-kind first-occurrence dedup across all fetched pages
+        final = dedup_entities(self.entities_raw.read(self.spark))
+        self.entities.append(final, lineage={"stage": "finalize"})
+
+        if self.validate_images:
+            self._validate_payloads()
+
+    def _validate_payloads(self):
+        """Payload invariants for every image embedded in a successfully
+        fetched page (BASELINE.json input_hint invariants)."""
+        pages = self._read("pages")
+        images = self._read("images")
+        fetched_urls = self.crawl_order.read(self.spark).filter("fetch_ok").select("url").distinct()
+        embedded = (
+            fetched_urls.join(pages, "url")
+            .filter(F.col("image_id").isNotNull())
+            .select("image_id", F.col("caption").alias("page_caption"))
+            .distinct()
+        )
+        joined = embedded.join(images, "image_id")
+        caption = joined.select(
+            "image_id", (F.col("page_caption") == F.col("caption")).alias("caption_match")
+        )
+        report = validate_payloads(
+            joined.select("image_id", "bytes", "w", "h", "fmt", "phash")
+        ).join(caption, "image_id")
+        self.payload_report.overwrite(report, lineage={"stage": "payload_validate"})
+
+    # --------------------------------------------------------------- run
+
+    def _all_tables(self):
+        return {
+            "crawl_order": self.crawl_order,
+            "seen": self.seen,
+            "entities": self.entities,
+            "entities_raw": self.entities_raw,
+            "frontier": self.frontier,
+            "payload_report": self.payload_report,
+            "metrics": self.metrics,
+        }
+
+    def _checkpoint(self, superstep: int) -> None:
+        """Commit protocol: record the per-table snapshot ids reached at a
+        superstep barrier. Resume rolls every table back to these ids, so a
+        crash mid-superstep never duplicates appends."""
+        snaps = {
+            name: (t.current() or {"snapshot_id": 0})["snapshot_id"]
+            for name, t in self._all_tables().items()
+        }
+        self.wh.save_state({"superstep": superstep, "snapshots": snaps})
+
+    def run(self, resume: bool = False) -> None:
+        if self.link_depth > 1:
+            raise NotImplementedError(
+                "multi-depth mode is an engine extension; the reference expands "
+                "links only from the seed page (social.js:67-76)"
+            )
+        state = (self.wh.load_state() if resume else None) or {"superstep": 0, "snapshots": {}}
+        for name, t in self._all_tables().items():
+            t.rollback(state["snapshots"].get(name, 0))
+        if state["superstep"] <= 0:
+            self._superstep_seeds()
+            self._checkpoint(1)
+        if state["superstep"] <= 1:
+            self._superstep_depth1()
+            self._checkpoint(2)
+        if state["superstep"] <= 2:
+            self._finalize()
+            self._checkpoint(3)
+
+    # ------------------------------------------------------------ outputs
+
+    def result_crawl_order(self) -> DataFrame:
+        return self.crawl_order.read(self.spark)
+
+    def result_seen(self) -> DataFrame:
+        return self.seen.read(self.spark)
+
+    def result_entities(self) -> DataFrame:
+        # entities table may contain appends from multiple commits; the
+        # (seed_id, kind, ord) key is unique by construction
+        return self.entities.read(self.spark)
+
+    def result_payload_report(self) -> DataFrame:
+        return self.payload_report.read(self.spark)
