@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: run the full crawl engine (frontier,
+LIFO/budget scheduling, robots, entity extraction, payload
+validation) on the deterministic smoke corpus and return crawl_order.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-pipeline operators; oracle SQL is
+the DuckDB twin (omitted only for engine-native crawl/payload ops,
+which are exact-match-verified against the serial oracle in
+tests/test_engine_vs_oracle.py instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_engine(spark: SparkSession, validate_images: bool = True):
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    wh = tempfile.mkdtemp(prefix="crawl_wh_")
+    eng = CrawlEngine(spark, wh, paths, validate_images=validate_images)
+    eng.run()
+    return eng
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end crawl on the smoke corpus -> crawl_order."""
+    eng = _run_engine(spark, validate_images=False)
+    return eng.result_crawl_order()
+
+
+def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Engine-native ops (non-SQL-expressible: iterative superstep crawl,
+    binary payload decode). Rows-only driver check; exact-match
+    verification lives in tests/ against the serial oracle."""
+
+    def loop_frontier_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _run_engine(spark, validate_images=False).result_crawl_order()
+
+    def dedup_url_seen_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _run_engine(spark, validate_images=False).result_seen()
+
+    def udaf_social_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _run_engine(spark, validate_images=False).result_entities()
+
+    def udf_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from scrapeulous_spark.operators.fetch import validate_payloads
+        from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+        paths = ensure_corpus(SMOKE)
+        return validate_payloads(spark.read.parquet(paths["images"]))
+
+    def src_s3_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+        paths = ensure_corpus(SMOKE)
+        return spark.read.parquet(paths["images"]).drop("bytes")
+
+    return {
+        "loop_frontier_dfs": loop_frontier_dfs,
+        "dedup_url_seen_engine": dedup_url_seen_engine,
+        "udaf_social_extract": udaf_social_extract,
+        "udf_image_decode": udf_image_decode,
+        "src_s3_object": src_s3_object,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import scrapeulous_spark.operators.catalog_serp  # noqa: F401 — registers entries
+    import scrapeulous_spark.operators.pipeline  # noqa: F401 — registers entries
+    from scrapeulous_spark.operators.catalog import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: q.spark for name, q in REGISTRY.items()
+    }
+    out.update(_engine_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import scrapeulous_spark.operators.catalog_serp  # noqa: F401
+    import scrapeulous_spark.operators.pipeline  # noqa: F401
+    from scrapeulous_spark.operators.catalog import REGISTRY
+
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

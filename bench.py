@@ -1,0 +1,135 @@
+"""Benchmark entry point (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "crawl": {"local8": {...}, "local32": {...}, "scaling_efficiency": e}}
+
+Two parts:
+  1. headline catalog queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
+     each timed to a noop sink (full compute, no driver collect)
+  2. the crawl engine on the deterministic BENCH corpus, run in TWO
+     subprocesses at local[8] and local[32] (the in-sandbox stand-in
+     for N and 4N executors, per BASELINE.md) -> URLs/sec at each +
+     scaling efficiency = (thru32/thru8)/4
+
+Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
+crawl at local[cpus] and prints a small JSON (used by the subprocess
+fan-out; separate processes because one JVM has one master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rank_position",
+    "agg_accumulate_pages",
+    "join_frontier_seen",
+    "join_budget_asof",
+    "fn_total_results",
+    "dedup_exact_hash",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "text_fingerprint",
+    "text_quality_score",
+]
+
+
+def run_crawl(cpus: int) -> dict:
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.session import get_spark
+    from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus
+
+    paths = ensure_corpus(BENCH)
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name=f"bench_crawl_{cpus}")
+    with tempfile.TemporaryDirectory() as wh:
+        t0 = time.time()
+        eng = CrawlEngine(spark, wh, paths)
+        eng.run()
+        n_urls = eng.result_crawl_order().count()
+        n_seen = eng.result_seen().count()
+        wall = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "urls_fetched": n_urls,
+        "seen_set": n_seen,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(n_urls / wall, 2),
+    }
+
+
+def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+    import scrapeulous_spark.operators.pipeline  # noqa: F401
+    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name="bench_queries")
+    out = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm: plan compile + cache JIT
+        t0 = time.time()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-only":
+        print(json.dumps(run_crawl(int(sys.argv[2]))))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    # pre-generate the crawl corpus once so neither subprocess pays for it
+    from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus
+
+    ensure_corpus(BENCH)
+
+    crawl = {}
+    for n in (8, 32):
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = res.stdout.strip().splitlines()[-1]
+        crawl[f"local{n}"] = json.loads(line)
+    eff = round(
+        (crawl["local32"]["urls_per_sec"] / crawl["local8"]["urls_per_sec"]) / 4.0, 3
+    )
+
+    queries = run_queries(sf_dir, cpus)
+
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_urls_per_sec_local32",
+                "value": crawl["local32"]["urls_per_sec"],
+                "unit": "urls/sec",
+                "queries": queries,
+                "sf": sf,
+                "crawl": {**crawl, "scaling_efficiency": eff},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,480 @@
+"""Training-data-pipeline operators: deduplication, similarity search,
+text analysis — first-class components alongside the SURVEY.md §2
+inventory (task brief).
+
+Cross-engine determinism techniques:
+  * portable 32-bit hash:  Spark  conv(substr(md5(x),1,8),16,10)::bigint
+                           DuckDB ('0x'||substr(md5(x),1,8))::bigint
+  * embeddings scaled to BIGINT (round(x*10000)) before any arithmetic
+    — integer sums are order-free and exact, so shuffle order can't
+    perturb results (a raw double SUM would differ in last-ulp between
+    engines and partitionings)
+  * ratios emitted as floor-scaled BIGINTs (x1000), never raw doubles
+
+Scale notes per operator are in each docstring; the LSH/minhash shapes
+follow the standard public constructions (Broder '97 minhash;
+Indyk-Motwani LSH; Charikar '02 simhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import T, register
+
+# portable 32-bit hash twins
+def _h32(col, salt):
+    """Spark side: first 8 hex chars of md5 -> bigint (matches DuckDB
+    ('0x'||substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _h32_sql(expr, salt):
+    return f"CAST(('0x' || substr(md5('{salt}:' || {expr}), 1, 8)) AS BIGINT)"
+
+
+_TOKENS = r"(SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)"
+
+
+def _tokens_spark(spark, sf):
+    return T(spark, sf, "documents").select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+@register(
+    "dedup_exact_hash",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS representative_doc,
+              count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact_hash(spark, sf):
+    """Exact dedup: hash-groupBy on content digest. At 100 TB: the md5
+    is computed map-side and the groupBy shuffles only (hash, id) pairs,
+    not the documents — project BEFORE the exchange."""
+    return (
+        T(spark, sf, "documents")
+        .select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("representative_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_MINHASH_SEEDS = 16
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
+        FROM {_TOKENS} tok,
+             (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
+        GROUP BY doc_id, seed""",
+)
+def dedup_minhash_signatures(spark, sf):
+    """MinHash signatures: k=16 permutations approximated by salted
+    32-bit hashes over whitespace tokens (Broder resemblance). The
+    token explode + groupBy is map-side combinable; signature size is
+    constant per doc so the shuffle is O(docs * k), independent of
+    document length — the property that makes minhash the scale path."""
+    tok = _tokens_spark(spark, sf)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(_MINHASH_SEEDS)])).alias("seed")
+    return (
+        tok.select("doc_id", "token", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            _h32(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("token")), "mh").alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+_BAND_SIZE = 4  # 16 seeds -> 4 bands of 4
+
+
+@register(
+    "dedup_lsh_buckets",
+    f"""WITH sig AS (
+          SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
+          FROM {_TOKENS} tok,
+               (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
+          GROUP BY doc_id, seed)
+        SELECT doc_id, CAST(floor(seed / {_BAND_SIZE}) AS BIGINT) AS band,
+               md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+        FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE})""",
+)
+def dedup_lsh_buckets(spark, sf):
+    """LSH banding: group the 16-slot signature into 4 bands of 4 and
+    hash each band; docs sharing (band, band_key) are near-dup
+    candidates. At scale the candidate join is an equi-join on the
+    band_key — no O(n^2) pair scan ever materializes."""
+    sig = dedup_minhash_signatures(spark, sf)
+    band = F.floor(F.col("seed") / _BAND_SIZE).cast("bigint")
+    ordered = (
+        sig.withColumn("band", band)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s.minhash.cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    return ordered.select("doc_id", "band", F.md5("band_sig").alias("band_key"))
+
+
+@register(
+    "dedup_lsh_pairs",
+    f"""WITH sig AS (
+          SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
+          FROM {_TOKENS} tok,
+               (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
+          GROUP BY doc_id, seed),
+        buckets AS (
+          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE}))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+)
+def dedup_lsh_pairs(spark, sf):
+    """Candidate near-dup pairs = equi-join on band buckets."""
+    from .catalog import REGISTRY
+
+    b = REGISTRY["dedup_lsh_buckets"].spark(spark, sf)
+    a = b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    c = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(c, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH bits AS (
+          SELECT doc_id, bit,
+                 CAST(sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+          FROM (SELECT doc_id, {_h32_sql("token", "sh")} AS h FROM {_TOKENS} tok),
+               (SELECT unnest(range(0, 16)) AS bit)
+          GROUP BY doc_id, bit)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id""",
+)
+def dedup_simhash(spark, sf):
+    """SimHash (Charikar): 16-bit locality-sensitive fingerprint. Bit j
+    of the fingerprint = sign of the sum over tokens of ±1 by the
+    token-hash's bit j. Integer weights -> order-free, exact."""
+    tok = _tokens_spark(spark, sf).select("doc_id", _h32(F.col("token"), "sh").alias("h"))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("bit")
+    )
+    weights = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("weight")
+    )
+    return weights.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH toks AS (SELECT DISTINCT doc_id, source, token FROM {_TOKENS} tok),
+        sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM toks a JOIN toks b
+            ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(floor(1000.0 * c / (sa.n + sb.n - c)) AS BIGINT) AS jaccard_x1000
+        FROM common JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE floor(1000.0 * c / (sa.n + sb.n - c)) >= 600""",
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Token-set Jaccard near-dup within a source bucket. The bucketing
+    (source) bounds the pair join; at scale the bucket key would be an
+    LSH band (see dedup_lsh_pairs) rather than a metadata column."""
+    toks = _tokens_spark(spark, sf).select("doc_id", "source", "token").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "source", "token")
+    b = toks.select(F.col("doc_id").alias("doc_b"), "source", "token")
+    common = (
+        a.join(b, ["source", "token"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.floor(1000.0 * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).cast("bigint")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_x1000"))
+        .filter(F.col("jaccard_x1000") >= 600)
+    )
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_SCALED = """(SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS emb
+              FROM embeddings)"""
+
+
+def _scaled_spark(spark, sf):
+    return T(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: F.round(x * 10000).cast("bigint")).alias("emb"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    f"""WITH scaled AS {_SCALED},
+        q AS (SELECT emb AS qemb FROM scaled WHERE vec_id = 0),
+        pairs AS (
+          SELECT s.vec_id,
+                 (SELECT sum(a * b) FROM (
+                    SELECT unnest(s.emb) AS a, unnest(q.qemb) AS b)) AS dot,
+                 (SELECT sum(a * a) FROM (SELECT unnest(s.emb) AS a)) AS na,
+                 (SELECT sum(b * b) FROM (SELECT unnest(q.qemb) AS b)) AS nb
+          FROM scaled s, q WHERE s.vec_id <> 0)
+        SELECT vec_id, cos_x10000, rank FROM (
+          SELECT vec_id,
+                 CAST(floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) AS cos_x10000,
+                 row_number() OVER (ORDER BY floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) DESC,
+                                    vec_id) AS rank
+          FROM pairs) WHERE rank <= 10""",
+)
+def sim_cosine_topk(spark, sf):
+    """Brute-force cosine top-k vs the vec_id=0 query vector — the
+    correctness baseline for ANN. Integer-scaled arithmetic keeps both
+    engines bit-identical. At scale: broadcast the query vector(s),
+    compute partial top-k per partition (Spark does this for the
+    global sort+limit automatically via TakeOrderedAndProject)."""
+    scaled = _scaled_spark(spark, sf)
+    q = scaled.filter("vec_id = 0").select(F.col("emb").alias("qemb"))
+    pairs = scaled.filter("vec_id <> 0").crossJoin(F.broadcast(q))
+    sims = pairs.select(
+        "vec_id",
+        F.floor(
+            10000.0
+            * _dot(F.col("emb"), F.col("qemb"))
+            / (
+                F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+            )
+        )
+        .cast("bigint")
+        .alias("cos_x10000"),
+    )
+    w = Window.orderBy(F.col("cos_x10000").desc(), "vec_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter("rank <= 10")
+
+
+_N_PLANES = 8
+
+
+@register(
+    "sim_ann_lsh_buckets",
+    f"""WITH comps AS (
+          SELECT vec_id, i, x,
+                 CASE WHEN {_h32_sql("plane::VARCHAR || ':' || i::VARCHAR", "rp")} % 2 = 1
+                      THEN 1 ELSE -1 END AS sign, plane
+          FROM (SELECT vec_id, unnest(emb) AS x,
+                       generate_subscripts(emb, 1) - 1 AS i
+                FROM {_SCALED} s),
+               (SELECT unnest(range(0, {_N_PLANES})) AS plane))
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+                 AS bucket
+        FROM (SELECT vec_id, plane, CAST(sum(sign * x) AS BIGINT) AS proj
+              FROM comps GROUP BY vec_id, plane)
+        GROUP BY vec_id""",
+)
+def sim_ann_lsh_buckets(spark, sf):
+    """Random-hyperplane LSH (SRP): 8 deterministic ±1 hyperplanes ->
+    8-bit bucket per vector. ANN search then probes only the query's
+    bucket (plus neighbors at higher recall) — candidate set shrinks
+    ~2^8 — the scale path vs brute force. Integer projections are
+    exact, so bucket ids are engine- and partitioning-invariant."""
+    scaled = _scaled_spark(spark, sf)
+    comps = scaled.select("vec_id", F.posexplode("emb").alias("i", "x")).withColumn(
+        "plane", F.explode(F.array(*[F.lit(p) for p in range(_N_PLANES)]))
+    )
+    sign = F.when(
+        _h32(F.concat(F.col("plane").cast("string"), F.lit(":"), F.col("i").cast("string")), "rp")
+        % 2
+        == 1,
+        1,
+    ).otherwise(-1)
+    proj = (
+        comps.select("vec_id", "plane", (sign * F.col("x")).alias("sx"))
+        .groupBy("vec_id", "plane")
+        .agg(F.sum("sx").alias("proj"))
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+@register(
+    "sim_embedding_neardup",
+    f"""WITH scaled AS {_SCALED},
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 (SELECT sum(x * y) FROM (SELECT unnest(a.emb) AS x, unnest(b.emb) AS y)) AS dot,
+                 (SELECT sum(x * x) FROM (SELECT unnest(a.emb) AS x)) AS na,
+                 (SELECT sum(y * y) FROM (SELECT unnest(b.emb) AS y)) AS nb
+          FROM scaled a JOIN scaled b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               CAST(floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) AS cos_x10000
+        FROM pairs
+        WHERE floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) >= 2000""",
+)
+def sim_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs, label-bucketed (at scale the
+    bucket is the LSH bucket from sim_ann_lsh_buckets, making this an
+    equi-join + verify, never O(n^2))."""
+    scaled = _scaled_spark(spark, sf)
+    a = scaled.select(F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("ea"))
+    b = scaled.select(F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.floor(
+        10000.0
+        * _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    ).cast("bigint")
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_x10000"))
+        .filter(F.col("cos_x10000") >= 2000)
+    )
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@register(
+    "text_token_count",
+    r"""SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish
+        FROM documents""",
+)
+def text_token_count(spark, sf):
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).alias(
+            "n_bpe_ish"
+        ),
+    )
+
+
+_STOP_SQL = "', '".join(_STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    rf"""WITH t AS (
+           SELECT doc_id, n_chars,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+           FROM documents)
+         SELECT doc_id,
+                CAST(floor(1000.0 * len(list_filter(toks, x -> list_contains(['{_STOP_SQL}'], x)))
+                           / len(toks)) AS BIGINT) AS stopword_x1000,
+                CAST(floor(1000.0 * n_punct / n_chars) AS BIGINT) AS punct_x1000,
+                (len(toks) >= 20 AND n_chars >= 100) AS length_ok
+         FROM t""",
+)
+def text_quality_score(spark, sf):
+    toks = F.split(F.trim("text"), r"\s+")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.floor(1000.0 * n_stop / F.size(toks)).cast("bigint").alias("stopword_x1000"),
+        F.floor(1000.0 * n_punct / F.col("n_chars")).cast("bigint").alias("punct_x1000"),
+        ((F.size(toks) >= 20) & (F.col("n_chars") >= 100)).alias("length_ok"),
+    )
+
+
+@register(
+    "text_lang_id",
+    rf"""WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id, lang AS labeled_lang,
+                CASE WHEN 1000.0 * len(list_filter(toks, x -> list_contains(['{_STOP_SQL}'], x)))
+                          / len(toks) >= 50 THEN 'en' ELSE 'und' END AS pred_lang
+         FROM t""",
+)
+def text_lang_id(spark, sf):
+    """Language-ID heuristic: English stopword density >= 5% -> 'en'
+    else 'und' (the corpus text is synthetic word-soup, so this tests
+    the machinery, not linguistics)."""
+    toks = F.split(F.trim("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    dens = 1000.0 * F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(toks)
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(dens >= 50, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+        FROM documents""",
+)
+def text_fingerprint(spark, sf):
+    """Document fingerprint: digest of the sorted distinct token set
+    (order-canonicalized, so it is shuffle-invariant by construction)."""
+    toks = F.array_sort(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")))
+    return T(spark, sf, "documents").select(
+        "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint")
+    )
