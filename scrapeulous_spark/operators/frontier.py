@@ -39,16 +39,33 @@ def robots_allowed(url: Column, disallow: Column) -> Column:
     )
 
 
+# enqueue-order key: (parent pop rank, DOM position) packed into one long.
+# Bounds: a parent's rank is budget-limited, DOM positions are
+# links-per-page-limited — both far below 10^7 at any realistic page.
+_POS_STRIDE = 10_000_000
+
+
 def expand_candidates(fetched_pages: DataFrame, robots: DataFrame) -> DataFrame:
-    """From successfully fetched seed pages, produce the per-seed cleaned,
+    """From successfully fetched pages, produce the per-seed cleaned,
     deduped candidate frontier.
 
-    fetched_pages: seed_id, url (seed url), out_links array<string>
+    fetched_pages: seed_id, url (parent page url), out_links
+                   array<string>, optional parent_rank long (0 = the
+                   seed page; pop rank of the parent otherwise — used
+                   by the multi-depth extension so enqueue order is
+                   (parent pop order, DOM order))
     robots:        host, disallow array<string>
     returns:       seed_id, url (normalized candidate), host, first_pos
+
+    Note: by the same-host invariant, a parent page's origin/host equal
+    the seed's, so resolving against the parent is resolving against
+    the seed origin (social.js:109 semantics).
     """
+    if "parent_rank" not in fetched_pages.columns:
+        fetched_pages = fetched_pages.withColumn("parent_rank", F.lit(0).cast("long"))
     seed = fetched_pages.select(
         "seed_id",
+        "parent_rank",
         U.origin_col(F.col("url")).alias("seed_origin"),
         U.host_col(F.col("url")).alias("seed_host"),
         F.posexplode("out_links").alias("pos", "link"),
@@ -56,7 +73,7 @@ def expand_candidates(fetched_pages: DataFrame, robots: DataFrame) -> DataFrame:
     resolved = seed.select(
         "seed_id",
         "seed_host",
-        "pos",
+        (F.col("parent_rank") * _POS_STRIDE + F.col("pos")).alias("pos"),
         U.resolve_col(F.col("link"), F.col("seed_origin")).alias("abs_url"),
     ).filter(F.col("abs_url").isNotNull())
     # same-host gate (social.js:115-119; always on per :48-50). After the
@@ -81,12 +98,17 @@ def expand_candidates(fetched_pages: DataFrame, robots: DataFrame) -> DataFrame:
     return gated.groupBy("seed_id", "url", "host").agg(F.min("pos").alias("first_pos"))
 
 
-def schedule_pops(frontier_status: DataFrame, budgets: DataFrame) -> DataFrame:
+def schedule_pops(
+    frontier_status: DataFrame, budgets: DataFrame, used: DataFrame | None = None
+) -> DataFrame:
     """Budget-gated LIFO scheduling as window-function rate accounting
     (SURVEY.md §2.7 join_budget_asof; social.js:78-90 semantics).
 
     frontier_status: seed_id, url, host, first_pos, fetch_ok boolean
     budgets:         host, max_requests
+    used:            optional (seed_id, used_ok) — successful fetches
+                     already consumed at earlier depths (multi-depth
+                     extension; the budget is global per seed)
     returns frontier rows + pop_rank (1-based pop order) + scheduled bool
     """
     w = Window.partitionBy("seed_id").orderBy(
@@ -99,6 +121,10 @@ def schedule_pops(frontier_status: DataFrame, budgets: DataFrame) -> DataFrame:
         "budget",
         F.coalesce(F.col("max_requests"), F.lit(0)),
     )
+    if used is not None:
+        with_budget = with_budget.join(used, "seed_id", "left").withColumn(
+            "budget", F.col("budget") - F.coalesce(F.col("used_ok"), F.lit(0))
+        ).drop("used_ok")
     cum_ok_before = F.coalesce(
         F.sum(F.col("fetch_ok").cast("int")).over(
             w.rowsBetween(Window.unboundedPreceding, -1)

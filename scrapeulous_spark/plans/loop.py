@@ -64,8 +64,15 @@ FRONTIER = T.StructType(
         T.StructField("seed_id", T.LongType()),
         T.StructField("url", T.StringType()),
         T.StructField("host", T.StringType()),
-        T.StructField("first_pos", T.IntegerType()),
+        T.StructField("first_pos", T.LongType()),
         T.StructField("depth", T.IntegerType()),
+    ]
+)
+# per-seed enqueued/visited set — the multi-depth anti-join target
+SEEN_PAIRS = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("url", T.StringType()),
     ]
 )
 PAYLOAD_REPORT = T.StructType(
@@ -114,6 +121,7 @@ class CrawlEngine:
         self.entities = self.wh.table("entities", ENTITIES)
         self.entities_raw = self.wh.table("entities_raw", ENTITIES_RAW)
         self.frontier = self.wh.table("frontier", FRONTIER)
+        self.seen_pairs = self.wh.table("seen_pairs", SEEN_PAIRS)
         self.payload_report = self.wh.table("payload_report", PAYLOAD_REPORT)
         self.metrics = self.wh.table("metrics", METRICS)
 
@@ -195,12 +203,21 @@ class CrawlEngine:
         )
 
         # frontier expansion (depth-1 gate: only when link_depth > 0,
-        # social.js:67-76 — and only from the seed page)
+        # social.js:67-76 — from the seed page, NO seen anti-join: the
+        # reference dedups only within the candidate list, the seed url
+        # itself may re-enter the frontier)
         if self.link_depth > 0:
             cands = expand_candidates(
                 ok.select("seed_id", "url", "out_links"), robots
             ).withColumn("depth", F.lit(1))
             self.frontier.overwrite(cands, lineage={"superstep": 0})
+        # per-seed visited set = normalized seed url ∪ enqueued candidates
+        self.seen_pairs.append(
+            fetched.select("seed_id", U.normalize_col(F.col("url")).alias("url"))
+            .unionByName(self.frontier.read(self.spark).select("seed_id", "url"))
+            .distinct(),
+            lineage={"superstep": 0},
+        )
         self._update_seen(
             fetched.select(U.normalize_col(F.col("url")).alias("url")).unionByName(
                 self.frontier.read(self.spark).select("url")
@@ -210,36 +227,77 @@ class CrawlEngine:
         self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
         fetched.unpersist()
 
-    def _superstep_depth1(self):
+    def _superstep_depth(self, d: int):
+        """Pop-and-fetch the depth-d frontier; expand into depth d+1 when
+        d < link_depth (multi-depth engine extension; at d == 1 with
+        link_depth == 1 this is exactly the reference semantics)."""
         t0 = time.time()
         pages = self._read("pages")
         budgets = self._read("budgets")
-        frontier = self.frontier.read(self.spark)
+        robots = self._read("robots")
+        frontier = self.frontier.read(self.spark).filter(F.col("depth") == d)
+        order_so_far = self.crawl_order.read(self.spark)
+
+        # global per-seed budget: successful non-seed fetches consumed so far
+        used = (
+            order_so_far.filter((F.col("depth") >= 1) & F.col("fetch_ok"))
+            .groupBy("seed_id")
+            .agg(F.count(F.lit(1)).alias("used_ok"))
+        )
+        # step numbering continues per seed
+        offsets = order_so_far.groupBy("seed_id").agg(F.max("step").alias("step_offset"))
 
         status = fetch_join(frontier, pages)
-        sched = schedule_pops(status, budgets).persist()
+        sched = (
+            schedule_pops(status, budgets, used=used)
+            .join(offsets, "seed_id", "left")
+            .withColumn(
+                "step", F.col("pop_rank") + F.coalesce(F.col("step_offset"), F.lit(0))
+            )
+            .persist()
+        )
         popped = sched.filter("scheduled")
         self.crawl_order.append(
             popped.select(
                 "seed_id",
-                F.col("pop_rank").cast("long").alias("step"),
+                F.col("step").cast("long").alias("step"),
                 "url",
-                F.lit(1).alias("depth"),
+                F.lit(d).alias("depth"),
                 "fetch_ok",
             ),
-            lineage={"superstep": 1},
+            lineage={"superstep": d},
         )
         raw = extract_entities_raw(
             popped.filter("fetch_ok").select(
-                "seed_id", F.col("pop_rank").cast("int").alias("page_order"), "body"
+                "seed_id", F.col("step").cast("int").alias("page_order"), "body"
             )
         )
-        self.entities_raw.append(raw, lineage={"superstep": 1})
+        self.entities_raw.append(raw, lineage={"superstep": d})
 
-        # leftover frontier (budget-exhausted rows) stays popped-out
-        remaining = sched.filter(~F.col("scheduled")).select(*[f.name for f in FRONTIER.fields])
-        self.frontier.overwrite(remaining, lineage={"superstep": 1, "stage": "drain"})
-        self._record_metrics(1, "depth1_fetch", sched, (time.time() - t0) * 1e3)
+        if d < self.link_depth:
+            # expand: enqueue order = (parent pop order, DOM order);
+            # exclude anything this seed already visited or enqueued
+            parents = popped.filter("fetch_ok").select(
+                "seed_id", "url", "out_links", F.col("pop_rank").cast("long").alias("parent_rank")
+            )
+            cands = expand_candidates(parents, robots).join(
+                self.seen_pairs.read(self.spark), ["seed_id", "url"], "left_anti"
+            )
+            nxt = cands.withColumn("depth", F.lit(d + 1)).persist()
+            self.frontier.overwrite(
+                nxt.select(*[f.name for f in FRONTIER.fields]),
+                lineage={"superstep": d, "stage": "expand"},
+            )
+            self.seen_pairs.append(nxt.select("seed_id", "url"), lineage={"superstep": d})
+            self._update_seen(nxt.select("url"), superstep=d)
+            nxt.unpersist()
+        else:
+            # terminal depth: budget-exhausted leftovers are drained
+            self.frontier.overwrite(
+                sched.filter(~F.col("scheduled")).select(*[f.name for f in FRONTIER.fields]),
+                lineage={"superstep": d, "stage": "drain"},
+            )
+        self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
         sched.unpersist()
 
     def _finalize(self):
@@ -280,6 +338,7 @@ class CrawlEngine:
             "entities": self.entities,
             "entities_raw": self.entities_raw,
             "frontier": self.frontier,
+            "seen_pairs": self.seen_pairs,
             "payload_report": self.payload_report,
             "metrics": self.metrics,
         }
@@ -295,23 +354,29 @@ class CrawlEngine:
         self.wh.save_state({"superstep": superstep, "snapshots": snaps})
 
     def run(self, resume: bool = False) -> None:
-        if self.link_depth > 1:
-            raise NotImplementedError(
-                "multi-depth mode is an engine extension; the reference expands "
-                "links only from the seed page (social.js:67-76)"
-            )
+        """Superstep sequence: 0 = seeds, d = depth-d pops (1..link_depth,
+        with early exit on an empty frontier), link_depth+1 = finalize.
+        link_depth == 1 is reference-exact; deeper is the documented
+        BFS-by-depth engine extension (verified against the extended
+        oracle, run_oracle_bfs)."""
         state = (self.wh.load_state() if resume else None) or {"superstep": 0, "snapshots": {}}
         for name, t in self._all_tables().items():
             t.rollback(state["snapshots"].get(name, 0))
         if state["superstep"] <= 0:
             self._superstep_seeds()
             self._checkpoint(1)
-        if state["superstep"] <= 1:
-            self._superstep_depth1()
-            self._checkpoint(2)
-        if state["superstep"] <= 2:
+        for d in range(1, self.link_depth + 1):
+            if state["superstep"] <= d:
+                if d > 1 and self.frontier.read(self.spark).filter(
+                    F.col("depth") == d
+                ).isEmpty():
+                    self._checkpoint(d + 1)
+                    continue
+                self._superstep_depth(d)
+                self._checkpoint(d + 1)
+        if state["superstep"] <= self.link_depth + 1:
             self._finalize()
-            self._checkpoint(3)
+            self._checkpoint(self.link_depth + 2)
 
     # ------------------------------------------------------------ outputs
 

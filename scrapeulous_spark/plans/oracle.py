@@ -127,6 +127,89 @@ def run_oracle(
     return res
 
 
+def run_oracle_bfs(
+    pages: dict[str, dict],
+    seeds: list[tuple[int, str]],
+    budgets: dict[str, int],
+    robots_disallow: dict[str, list[str]],
+    link_depth: int = 2,
+) -> OracleResult:
+    """Extended serial oracle for the multi-depth ENGINE EXTENSION
+    (BFS-by-depth supersteps). Depth 1 is reference-exact; at depth
+    d >= 2 the policy (documented in loop.py) is:
+      * expansion from every successfully fetched depth-d page, enqueue
+        order = (parent pop order, DOM order), first-occurrence dedup
+      * candidates already visited/enqueued by this seed are excluded
+      * budget is GLOBAL per seed across depths (success-decrement)
+      * step numbering continues per seed
+    """
+    res = OracleResult()
+    seen: dict[str, None] = {}
+
+    for seed_id, seed_url in seeds:
+        if not (seed_url.startswith("http://") or seed_url.startswith("https://")):
+            res.entities.append((seed_id, "invalid_url", 0, seed_url))
+            continue
+        seed_host = U.host_of(seed_url)
+        seed_origin = U.origin_of(seed_url)
+        budget = budgets.get(seed_host, 0) or 0
+        raw_values: dict[str, list[str]] = {k: [] for k in KIND_ORDER}
+
+        res.crawl_order.append((seed_id, 0, seed_url, 0))
+        seen.setdefault(U.normalize(seed_url))
+        page = pages.get(seed_url)
+        if page is None or page["status"] not in OK_STATUSES:
+            continue
+        for kind in KIND_ORDER:
+            raw_values[kind].extend(extract_py(kind, page["body"]))
+        title = (page.get("title") or "").strip()
+        if title:
+            res.entities.append((seed_id, "page_title", 0, title))
+
+        current = (
+            _clean_links(page["out_links"], seed_origin, seed_host, robots_disallow)
+            if link_depth > 0
+            else []
+        )
+        pair_seen: set[str] = {U.normalize(seed_url)} | set(current)
+        for u in current:
+            seen.setdefault(u)
+
+        step = 1
+        for d in range(1, link_depth + 1):
+            to_visit = list(current)
+            collected: list[str] = []  # next-depth candidates, enqueue order
+            while to_visit and budget > 0:
+                url = to_visit.pop()
+                res.crawl_order.append((seed_id, step, url, d))
+                step += 1
+                p2 = pages.get(url)
+                if p2 is not None and p2["status"] in OK_STATUSES:
+                    for kind in KIND_ORDER:
+                        raw_values[kind].extend(extract_py(kind, p2["body"]))
+                    budget -= 1
+                    if d < link_depth:
+                        collected.extend(
+                            _clean_links(
+                                p2["out_links"], seed_origin, seed_host, robots_disallow
+                            )
+                        )
+            nxt = [u for u in dict.fromkeys(collected) if u not in pair_seen]
+            pair_seen.update(nxt)
+            for u in nxt:
+                seen.setdefault(u)
+            current = nxt
+            if not current:
+                break
+
+        for kind in KIND_ORDER:
+            for i, v in enumerate(dict.fromkeys(raw_values[kind])):
+                res.entities.append((seed_id, kind, i, v))
+
+    res.seen_set = list(seen)
+    return res
+
+
 def load_corpus_for_oracle(paths: dict[str, str]):
     """Read the generated parquet corpus into plain-Python structures."""
     import pyarrow.parquet as pq

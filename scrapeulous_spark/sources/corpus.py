@@ -67,7 +67,9 @@ class CorpusParams:
 
 SMOKE = CorpusParams()
 CORRECTNESS = CorpusParams(n_images=5000, n_hosts=24, n_pages=12000, n_seeds=120)
-BENCH = CorpusParams(n_images=20000, n_hosts=64, n_pages=100000, n_seeds=4000, max_links=20)
+BENCH = CorpusParams(
+    n_images=30000, n_hosts=64, n_pages=150000, n_seeds=30000, img_w=48, img_h=32, max_links=20
+)
 
 
 # ------------------------------------------------------------------- images

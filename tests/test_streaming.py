@@ -1,0 +1,93 @@
+"""Structured Streaming extension tests: the streaming extract stage
+must produce exactly the batch engine's results on the same seeds, and
+the watermarked rate monitor must aggregate correctly."""
+
+import datetime
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from scrapeulous_spark.operators.extract import extract_entities_raw
+from scrapeulous_spark.operators.fetch import fetch_join
+from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+from scrapeulous_spark.streaming.frontier_stream import (
+    read_seed_stream,
+    run_to_completion,
+    stream_fetch_rate,
+    stream_seed_entities,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark):
+    paths = ensure_corpus(SMOKE)
+    seeds = pq.read_table(paths["seeds"]).to_pylist()
+    valid = [s for s in seeds if s["url"].startswith("http")]
+    base = datetime.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp(prefix="seed_stream_")
+    # three micro-batch files with event timestamps spread over 30s
+    for i in range(3):
+        chunk = valid[i::3]
+        pq.write_table(
+            pa.table(
+                {
+                    "seed_id": pa.array([s["seed_id"] for s in chunk], pa.int64()),
+                    "url": pa.array([s["url"] for s in chunk], pa.string()),
+                    "priority": pa.array([s["priority"] for s in chunk], pa.float64()),
+                    "event_ts": pa.array(
+                        [base + datetime.timedelta(seconds=3 * i + j) for j in range(len(chunk))],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            os.path.join(d, f"batch_{i}.parquet"),
+        )
+    return d, paths
+
+
+def test_stream_entities_match_batch(spark, stream_env):
+    seeds_dir, paths = stream_env
+    pages = spark.read.parquet(paths["pages"])
+
+    stream = read_seed_stream(spark, seeds_dir, max_files_per_trigger=1)
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = run_to_completion(stream_seed_entities(stream, pages), ckpt).collect()
+
+    batch_seeds = spark.read.parquet(paths["seeds"]).filter(
+        F.col("url").startswith("http")
+    )
+    fetched = fetch_join(batch_seeds.select("seed_id", "url"), pages).filter("fetch_ok")
+    want = extract_entities_raw(
+        fetched.select("seed_id", F.lit(0).alias("page_order"), "body")
+    ).collect()
+
+    key = lambda r: (r.seed_id, r.kind, r.page_order, r.match_pos, r.value)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_stream_fetch_rate_windows(spark, stream_env):
+    seeds_dir, paths = stream_env
+    pages = spark.read.parquet(paths["pages"])
+    stream = read_seed_stream(spark, seeds_dir)
+    # complete mode: append-mode windows only emit once the watermark
+    # passes them, so at end-of-stream the trailing windows would never
+    # close — a monitor wants the full current state anyway
+    with tempfile.TemporaryDirectory() as ckpt:
+        rates = run_to_completion(
+            stream_fetch_rate(stream, pages), ckpt, output_mode="complete"
+        ).collect()
+    assert rates, "complete mode emits all windows at availableNow drain"
+    # windows are 10s wide sliding by 5s; counts per (host, window) >= 1
+    for r in rates:
+        assert (r.window_end - r.window_start).total_seconds() == 10.0
+        assert r.n_fetches >= r.n_ok >= 0
+    # total fetch count across one non-overlapping window family equals seed count
+    total = sum(r.n_fetches for r in rates if r.window_start.second % 10 == 0)
+    n_valid = spark.read.parquet(paths["seeds"]).filter(F.col("url").startswith("http")).count()
+    assert total == n_valid
