@@ -77,20 +77,16 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    import scrapeulous_spark.operators.catalog_serp  # noqa: F401 — registers entries
-    import scrapeulous_spark.operators.pipeline  # noqa: F401 — registers entries
-    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.operators import load_all_catalogs
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: q.spark for name, q in REGISTRY.items()
+        name: q.spark for name, q in load_all_catalogs().items()
     }
     out.update(_engine_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    import scrapeulous_spark.operators.catalog_serp  # noqa: F401
-    import scrapeulous_spark.operators.pipeline  # noqa: F401
-    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.operators import load_all_catalogs
 
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in load_all_catalogs().items() if q.oracle is not None}

@@ -81,9 +81,10 @@ def run_crawl(cpus: int) -> dict:
 
 
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
-    import scrapeulous_spark.operators.pipeline  # noqa: F401
-    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import get_spark
+
+    REGISTRY = load_all_catalogs()
 
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name="bench_queries")
     out = {}

@@ -1,0 +1,145 @@
+"""Engine-native §2.1/§2.7/§2.9 operators (rows-only driver checks).
+
+These run against the deterministic smoke corpus (sources/corpus.py)
+rather than the TPC-H-ish testdata, because their semantics involve
+the page store, binary payloads, or per-partition init — none of which
+DuckDB can twin. Exactness for the crawl path itself is covered by the
+serial-oracle tests (tests/test_engine_vs_oracle.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .fetch import fetch_join
+
+
+def _corpus(spark: SparkSession, table: str) -> DataFrame:
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    return spark.read.parquet(ensure_corpus(SMOKE)[table])
+
+
+@register("src_http_get", None)
+def src_http_get(spark, sf):
+    """Get.crawl(url) -> body (crawl/http.js:4-7): the fetch stage is
+    an equi-join of scheduled URLs against the page store; http kind
+    returns the body only for clean fetches."""
+    seeds = _corpus(spark, "seeds").select("url")
+    fetched = fetch_join(seeds, _corpus(spark, "pages"))
+    return fetched.select(
+        "url",
+        "status",
+        F.when(F.col("fetch_ok"), F.length("body")).alias("body_len"),
+    )
+
+
+@register("src_browser_render", None)
+def src_browser_render(spark, sf):
+    """RenderNew.crawl(url) (crawl/render.js:8-33): browser kind keeps
+    partial content on timeout and carries the ORIGINAL error for
+    failed navigations (render.js:24-32)."""
+    seeds = _corpus(spark, "seeds").select("url")
+    fetched = fetch_join(seeds, _corpus(spark, "pages"))
+    return fetched.select(
+        "url",
+        "status",
+        F.when(F.col("status").isin("ok", "partial"), F.col("body")).alias("content"),
+        F.when(
+            ~F.col("fetch_ok"),
+            F.concat(F.lit("Navigation failed: "), F.coalesce("status", F.lit("no_route"))),
+        ).alias("error_msg"),
+    )
+
+
+@register("sink_screenshot", None)
+def sink_screenshot(spark, sf):
+    """Page -> PNG screenshot bytes as base64, default
+    {type:'png', fullPage:false} (custom/screenshot.js:12-32). The
+    'render' is the deterministic pixel function keyed by url — real
+    PNG encode via the pure-numpy codec, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+
+        from ..codec.png import png_encode
+        from ..sources.corpus import image_pixels
+
+        for pdf in it:
+            shots = [
+                base64.b64encode(png_encode(image_pixels(u, 16, 12))).decode("ascii")
+                for u in pdf["url"]
+            ]
+            yield pd.DataFrame({"url": pdf["url"], "screen_base64": shots})
+
+    pages = _corpus(spark, "pages").select("url")
+    return pages.mapInPandas(batches, schema="url string, screen_base64 string")
+
+
+@register("udf_custom_crawler", None)
+def udf_custom_crawler(spark, sf):
+    """The /custom endpoint shape (README.md:11): a user-supplied
+    crawler class whose crawl() runs per item with injected context
+    (BrowserWorker base, reverse_image_google_final.js:17). Spark twin:
+    the class is instantiated ONCE per partition inside iterator
+    mapInPandas (per-worker browser analog) and processes whole Arrow
+    batches — no per-row Python dispatch."""
+
+    class TitleCrawler:
+        """Example user crawler: page -> (title, n_links, body_len)."""
+
+        def crawl_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_title": pdf["title"].fillna("").str.strip(),
+                    "n_links": pdf["out_links"].map(len),
+                    "body_len": pdf["body"].fillna("").str.len(),
+                }
+            )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        crawler = TitleCrawler()  # per-partition init
+        for pdf in it:
+            yield crawler.crawl_batch(pdf)
+
+    pages = _corpus(spark, "pages").select("url", "title", "out_links", "body")
+    return pages.mapInPandas(
+        batches, schema="url string, page_title string, n_links int, body_len int"
+    )
+
+
+@register("join_payload_oracle", None)
+def join_payload_oracle(spark, sf):
+    """Payload-invariant validation join (BASELINE.json input_hint):
+    images equi-joined on image_id against (a) the decoded-pixel
+    report (PSNR>=40dB lossy / exact lossless) and (b) the caption as
+    carried by the page store — caption equality must be exact."""
+    from .fetch import validate_payloads
+
+    images = _corpus(spark, "images")
+    report = validate_payloads(images)
+    page_caps = (
+        _corpus(spark, "pages")
+        .filter(F.col("image_id").isNotNull())
+        .select("image_id", F.col("caption").alias("page_caption"))
+        .dropDuplicates(["image_id"])
+    )
+    return (
+        images.select("image_id", "fmt", "caption")
+        .join(report.select("image_id", "psnr_db", "pixels_allclose"), "image_id")
+        .join(page_caps, "image_id", "left")
+        .select(
+            "image_id",
+            "fmt",
+            "pixels_allclose",
+            (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+            (F.col("caption") == F.col("page_caption")).alias("caption_match"),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Multimodal column operators: image decode / resize / feature
+extraction / video frame sampling over opaque ``binary`` payload
+columns with typed metadata — the training-data-pipeline side of the
+engine (brief: multimodal columns are first-class).
+
+All ops are Arrow-batched ``mapInPandas`` with iterator-of-batches
+per-partition init (the analog of one browser per worker,
+/root/reference/crawl/render.js:12 injected ``this.page``) — no
+per-row Python dispatch at the plan level. The PNG codec is the
+pure-numpy one from codec/png.py (no PIL/cv2 in the sandbox); decode,
+resize, and features are REAL; video decode is a clearly-marked STUB
+(``_decode_video``) whose Spark-side plumbing — schema, batch shape,
+partitioning — is real and tested.
+
+Registered rows-only in the operator catalog (no DuckDB twin: binary
+codecs are not SQL-expressible); invariants are unit-tested in
+tests/test_multimodal.py.
+
+Scale note: payload bytes never pass through a shuffle here — every op
+is a narrow map over the scan, so the plan at 100 TB is
+scan -> ArrowEvalPython -> project, with parallelism set by
+``spark.sql.files.maxPartitionBytes`` alone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register
+
+RESIZE_SCHEMA = "image_id string, w int, h int, bytes binary, phash bigint"
+FEATURES_SCHEMA = (
+    "image_id string, mean_r_x1000 bigint, mean_g_x1000 bigint, mean_b_x1000 bigint, "
+    "std_gray_x1000 bigint, phash bigint"
+)
+FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms bigint, w int, h int, frame_phash bigint"
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of PNG payloads (decode -> index-sample
+    -> re-encode), vectorized per Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codec.phash import phash64
+        from ..codec.png import png_decode, png_encode
+
+        for pdf in it:
+            rows = {"image_id": [], "w": [], "h": [], "bytes": [], "phash": []}
+            for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                px = png_decode(bytes(raw))
+                ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
+                xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
+                small = px[ys][:, xs]
+                rows["image_id"].append(iid)
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["bytes"].append(png_encode(small))
+                rows["phash"].append(phash64(small))
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes").mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-channel mean + gray std + phash, scaled to bigint x1000
+    (stable value-hash across engines — no raw doubles)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codec.phash import phash64
+        from ..codec.png import png_decode
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "image_id", "mean_r_x1000", "mean_g_x1000", "mean_b_x1000",
+                "std_gray_x1000", "phash",
+            )}
+            for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                px = png_decode(bytes(raw)).astype(np.float64)
+                means = px.mean(axis=(0, 1))
+                gray = px.mean(axis=2)
+                out["image_id"].append(iid)
+                out["mean_r_x1000"].append(int(round(means[0] * 1000)))
+                out["mean_g_x1000"].append(int(round(means[1] * 1000)))
+                out["mean_b_x1000"].append(int(round(means[2] * 1000)))
+                out["std_gray_x1000"].append(int(round(gray.std() * 1000)))
+                out["phash"].append(phash64(px.astype(np.uint8)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def _decode_video(raw: bytes):
+    """STUB — video decoding needs cv2/PyAV, absent from this sandbox.
+    Falls back to a deterministic fake: the payload is treated as a
+    single-frame clip (one PNG). On a real cluster, replace the body
+    with a cv2.VideoCapture loop; schema and call-sites are final."""
+    try:
+        import cv2  # noqa: F401
+
+        raise NotImplementedError("real video decode path not wired in-sandbox")
+    except ImportError:
+        from ..codec.png import png_decode
+
+        return [png_decode(raw)]  # deterministic fake: 1-frame clip
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4, fps: float = 25.0) -> DataFrame:
+    """Evenly-spaced frame sampling over a binary video column.
+    Frame indices are computed over the decoded clip length, so the
+    plumbing (even spacing, ts_ms stamping, per-frame rows) is
+    exercised even while the decoder is the 1-frame stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..codec.phash import phash64
+
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "w", "h", "frame_phash")}
+            for mid, raw in zip(pdf["image_id"], pdf["bytes"]):
+                frames = _decode_video(bytes(raw))
+                take = np.unique(
+                    (np.arange(n_frames) * len(frames) // n_frames).astype(np.int64)
+                )
+                for idx in take:
+                    fr = frames[int(idx)]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(int(idx))
+                    out["ts_ms"].append(int(idx * 1000 / fps))
+                    out["w"].append(fr.shape[1])
+                    out["h"].append(fr.shape[0])
+                    out["frame_phash"].append(phash64(fr))
+            yield pd.DataFrame(out)
+
+    return media.select("image_id", "bytes").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def _corpus_images(spark: SparkSession) -> DataFrame:
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    return spark.read.parquet(ensure_corpus(SMOKE)["images"])
+
+
+@register("img_resize", None)
+def img_resize(spark, sf):
+    return resize_images(_corpus_images(spark), 16, 12).drop("bytes")
+
+
+@register("img_features", None)
+def img_features(spark, sf):
+    return image_features(_corpus_images(spark))
+
+
+@register("media_frame_sample", None)
+def media_frame_sample(spark, sf):
+    return frame_sample(_corpus_images(spark), n_frames=4)

@@ -17,10 +17,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def registry():
-    import scrapeulous_spark.operators.pipeline  # noqa: F401
-    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.operators import load_all_catalogs
 
-    return REGISTRY
+    return load_all_catalogs()
 
 
 @pytest.fixture(scope="module")

@@ -46,10 +46,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    import scrapeulous_spark.operators.catalog_serp  # noqa: F401 — registers entries
-    import scrapeulous_spark.operators.pipeline  # noqa: F401 — registers entries
-    from scrapeulous_spark.operators.catalog import REGISTRY
+    from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import get_spark
+
+    REGISTRY = load_all_catalogs()
 
     spark = get_spark(cpus=8, shuffle_partitions=8, app_name="check_queries")
     con = duckdb.connect()
