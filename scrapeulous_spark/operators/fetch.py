@@ -87,6 +87,14 @@ def validate_payloads(images: DataFrame) -> DataFrame:
                 out["pixels_allclose"][i] = bool(np.array_equal(dec, expected))
             yield pd.DataFrame(out)
 
-    return images.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
-        batches, schema=PAYLOAD_REPORT_SCHEMA
+    # Decode cost is per-ROW CPU, not per-byte: a bytes-proportional
+    # partitioning (file splits, AQE advisory size) under-parallelizes
+    # this stage badly. Repartition to the cluster's core count so every
+    # executor thread decodes; at 100 TB this round-robin shuffle of the
+    # payload column is the decode stage's scheduling unit.
+    sc = images.sparkSession.sparkContext
+    return (
+        images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+        .repartition(sc.defaultParallelism * 2)
+        .mapInPandas(batches, schema=PAYLOAD_REPORT_SCHEMA)
     )

@@ -101,6 +101,23 @@ def bloom_prefilter(
     )
 
 
+def bloom_merge(existing: DataFrame, delta: DataFrame, n_bits: int = 1 << 20) -> DataFrame:
+    """OR per-bucket bitmaps of `existing` and `delta` (both BLOOM_SCHEMA).
+    This is how the filter is maintained incrementally: each superstep
+    builds a small delta from ONLY the newly-seen urls and merges it,
+    instead of rescanning the full 10^10-row seen table."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_bits // 8, dtype=np.uint8)
+        for raw in pdf["bits"]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()]})
+
+    return (
+        existing.unionByName(delta).groupBy("bucket").applyInPandas(merge, schema=BLOOM_SCHEMA)
+    )
+
+
 def new_urls_exact(
     candidates: DataFrame,
     seen: DataFrame,

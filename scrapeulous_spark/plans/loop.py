@@ -87,6 +87,12 @@ PAYLOAD_REPORT = T.StructType(
         T.StructField("caption_match", T.BooleanType()),
     ]
 )
+BLOOM = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("bits", T.BinaryType()),
+    ]
+)
 METRICS = T.StructType(
     [
         T.StructField("superstep", T.IntegerType()),
@@ -110,12 +116,19 @@ class CrawlEngine:
         corpus_paths: dict[str, str],
         link_depth: int = 1,
         validate_images: bool = True,
+        use_bloom: bool = False,
+        bloom_buckets: int = 64,
+        bloom_bits: int = 1 << 20,
+        bloom_k: int = 4,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
         self.paths = corpus_paths
         self.link_depth = link_depth
         self.validate_images = validate_images
+        self.use_bloom = use_bloom
+        self.bloom_params = {"n_buckets": bloom_buckets, "n_bits": bloom_bits, "k": bloom_k}
+        self.bloom = self.wh.table("bloom", BLOOM)
         self.crawl_order = self.wh.table("crawl_order", CRAWL_ORDER)
         self.seen = self.wh.table("seen", SEEN)
         self.entities = self.wh.table("entities", ENTITIES)
@@ -153,11 +166,36 @@ class CrawlEngine:
         self.metrics.append(m, lineage={"superstep": superstep, "stage": stage})
 
     def _update_seen(self, urls: DataFrame, superstep: int):
-        """Exact seen-set MERGE: distinct new urls anti-joined against the
-        current seen table (Bloom prefilter optional — see seen.py; it
-        only prunes, exactness comes from this anti-join)."""
-        new = urls.select("url").distinct().join(self.seen.read(self.spark), "url", "left_anti")
+        """Exact seen-set MERGE. With use_bloom, the partitioned Bloom
+        filter (seen.py) prunes the anti-join probe side — only
+        maybe-seen rows pay the join; the filter is maintained
+        incrementally by OR-merging a delta built from just the
+        newly-admitted urls. Exactness NEVER depends on the filter:
+        false positives are rescued by the confirming anti-join
+        (property: engine output identical with/without bloom,
+        tests/test_seen_bloom.py)."""
+        cand = urls.select("url").distinct()
+        seen = self.seen.read(self.spark)
+        if not self.use_bloom:
+            new = cand.join(seen, "url", "left_anti")
+            self.seen.append(new, lineage={"superstep": superstep})
+            return
+        from ..operators.seen import bloom_build, bloom_merge, new_urls_exact
+
+        bloom = self.bloom.read(self.spark)
+        new = new_urls_exact(cand, seen, bloom=bloom, **self.bloom_params).persist()
         self.seen.append(new, lineage={"superstep": superstep})
+        delta = bloom_build(
+            new,
+            n_buckets=self.bloom_params["n_buckets"],
+            n_bits=self.bloom_params["n_bits"],
+            k=self.bloom_params["k"],
+        )
+        self.bloom.overwrite(
+            bloom_merge(bloom, delta, n_bits=self.bloom_params["n_bits"]),
+            lineage={"superstep": superstep, "stage": "bloom_merge"},
+        )
+        new.unpersist()
 
     # --------------------------------------------------------- supersteps
 
@@ -340,6 +378,7 @@ class CrawlEngine:
             "frontier": self.frontier,
             "seen_pairs": self.seen_pairs,
             "payload_report": self.payload_report,
+            "bloom": self.bloom,
             "metrics": self.metrics,
         }
 

@@ -56,19 +56,31 @@ class CorpusParams:
     img_w: int = 32
     img_h: int = 24
     max_links: int = 14
+    # deterministic filler words per body: sizes the per-row regex-scan
+    # work (the real per-page cost at 100 TB, where bodies are KBs not
+    # the ~200B of the tiny fixtures)
+    body_filler_words: int = 0
 
     @property
     def tag(self) -> str:
         return (
             f"i{self.n_images}_h{self.n_hosts}_p{self.n_pages}"
             f"_s{self.n_seeds}_{self.img_w}x{self.img_h}_l{self.max_links}"
+            f"_f{self.body_filler_words}"
         )
 
 
 SMOKE = CorpusParams()
 CORRECTNESS = CorpusParams(n_images=5000, n_hosts=24, n_pages=12000, n_seeds=120)
 BENCH = CorpusParams(
-    n_images=30000, n_hosts=64, n_pages=150000, n_seeds=30000, img_w=48, img_h=32, max_links=20
+    n_images=30000,
+    n_hosts=64,
+    n_pages=300000,
+    n_seeds=60000,
+    img_w=48,
+    img_h=32,
+    max_links=20,
+    body_filler_words=300,
 )
 
 
@@ -142,6 +154,16 @@ def _host_sizes(p: CorpusParams) -> list[int]:
     for i in range(rest - sum(base)):
         base[i % len(base)] += 1
     return [hot] + base
+
+
+_FILLER_WORDS = [
+    "crawl", "frontier", "schedule", "politeness", "budget", "render", "fetch",
+    "anchor", "snippet", "caption", "thumbnail", "viewport", "lorem", "ipsum",
+    "dolor", "amet", "sed", "tempor", "archive", "sitemap", "header", "footer",
+    # regex near-misses: tokens the entity families must NOT match
+    "twitter", "github", "instagram.example", "facebook-page", "mail@",
+    "@corp", "http://", "www.", "49-30", "(555", "intent", "share.php",
+]
 
 
 def _entity_snippets(rng: np.random.Generator, gi: int) -> list[str]:
@@ -230,6 +252,11 @@ def gen_pages(p: CorpusParams) -> pa.Table:
         titles.append(f"  Page {host}/p{gi % n_here} — {_CAPTION_WORDS[gi % len(_CAPTION_WORDS)]}  ")
         body_bits = [f"<html><title>{titles[-1]}</title><body>Lorem ipsum {gi} on {host}."]
         body_bits += _entity_snippets(rng, gi)
+        if p.body_filler_words:
+            # deterministic prose filler with regex near-misses mixed in —
+            # scales the per-page scan work without adding entity matches
+            idx = rng.integers(0, len(_FILLER_WORDS), size=p.body_filler_words)
+            body_bits.append(" ".join(_FILLER_WORDS[i] for i in idx))
         body_bits.append("</body></html>")
         bodies.append(" ".join(body_bits))
 
@@ -325,7 +352,22 @@ def generate(p: CorpusParams, out_dir: str) -> dict[str, str]:
 
 
 def default_cache_dir(p: CorpusParams) -> str:
-    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".cache", "corpus", p.tag)
+    """$SPARK_GRAFT_CACHE > repo-root .cache > tmpdir. The repo-root
+    probe must survive zip import (spark-submit --py-files puts this
+    module INSIDE dist/scrapeulous_spark.zip, where dirname(__file__)
+    is not a real directory)."""
+    base = os.environ.get("SPARK_GRAFT_CACHE")
+    if base is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if os.path.isdir(repo):
+            base = os.path.join(repo, ".cache")
+        else:
+            import tempfile
+
+            base = os.path.join(tempfile.gettempdir(), "scrapeulous_cache")
+    return os.path.join(base, "corpus", p.tag)
 
 
 def ensure_corpus(p: CorpusParams) -> dict[str, str]:

@@ -71,3 +71,29 @@ def test_cuckoo_roundtrip_serialization():
         f.insert(f"u{i}")
     g = CuckooFilter.from_bytes(f.to_bytes(), 256)
     assert all(g.contains(f"u{i}") for i in range(200))
+
+
+def test_engine_bloom_mode_identical(spark, tmp_path):
+    """Engine invariant: running the full crawl with the Bloom-prefiltered
+    incremental seen-set MERGE produces byte-identical crawl_order and
+    seen tables to the plain anti-join path."""
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    outs = {}
+    for label, use_bloom in (("plain", False), ("bloom", True)):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / label),
+            paths,
+            validate_images=False,
+            use_bloom=use_bloom,
+            bloom_buckets=8,
+            bloom_bits=1 << 16,
+        )
+        eng.run()
+        order = sorted(map(tuple, eng.result_crawl_order().collect()))
+        seen = sorted(r.url for r in eng.result_seen().collect())
+        outs[label] = (order, seen)
+    assert outs["plain"] == outs["bloom"]

@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# North-rule launch evidence: the SAME job relaunched via
+#   spark-submit --py-files dist/scrapeulous_spark.zip
+# at two cluster sizes (local[2] and local[8] = N and 4N cores, in-sandbox stand-in
+# for N and 4N executors). Prints both JSON lines + scaling efficiency.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SUBMIT="${SPARK_SUBMIT:-spark-submit}"
+export SPARK_GRAFT_CACHE="${SPARK_GRAFT_CACHE:-$PWD/.cache}"
+python tools/make_dist.py >/dev/null
+python -c "from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus; ensure_corpus(BENCH)" >/dev/null
+
+run () {
+  "$SUBMIT" --master "local[$1]" \
+    --conf spark.ui.enabled=false \
+    --conf spark.sql.shuffle.partitions="$1" \
+    --conf spark.sql.adaptive.enabled=true \
+    --py-files dist/scrapeulous_spark.zip \
+    tools/submit_crawl.py --scale bench 2>/dev/null | tail -1
+}
+
+J2=$(run 2);  echo "$J2"
+J8=$(run 8); echo "$J8"
+python - "$J2" "$J8" <<'PY'
+import json, sys
+a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+eff = (b["urls_per_sec"] / a["urls_per_sec"]) / 4.0
+print(json.dumps({"scaling_efficiency_2_to_8": round(eff, 3)}))
+PY
