@@ -8,14 +8,17 @@ Two parts:
   1. headline catalog queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
      each timed to a noop sink (full compute, no driver collect)
   2. the crawl engine on the deterministic BENCH corpus, run in TWO
-     subprocesses at local[2] and local[8] (N and 4N cores — the
+     subprocesses at local[1] and local[4] (N and 4N cores — the
      in-sandbox stand-in for N and 4N executors, per BASELINE.md)
-     -> URLs/sec at each + scaling efficiency = (thru8/thru2)/4.
-     N=2/4N=8 rather than 8/32 because this VM advertises 32 vCPUs
-     but measures ~8 effective parallel cores (see cpu_probe in the
-     output: fixed-work-per-process wall is flat to 8 procs, then
-     doubles at 16 and triples at 32) — local[32] would measure
-     hypervisor time-slicing, not the engine's scaling.
+     -> URLs/sec at each + scaling efficiency = (thru4/thru1)/4.
+     N=1/4N=4 rather than 8/32 because this VM advertises 32 vCPUs
+     but measures ~8 effective parallel cores for separate processes
+     (see cpu_probe in the output: fixed-work-per-process wall is flat
+     to 8 procs, then doubles at 16 and triples at 32), and a SINGLE
+     JVM's compute threads saturate even earlier (~3x at 8 threads,
+     measured on both regex extraction and pure md5 stages) —
+     local[8]/local[32] would measure hypervisor time-slicing and JVM
+     thread-scheduling limits, not the engine's scaling.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
 crawl at local[cpus] and prints a small JSON (used by the subprocess
@@ -143,7 +146,7 @@ def main():
     ensure_corpus(BENCH)
 
     crawl = {}
-    for n in (2, 8):
+    for n in (1, 4):
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n)],
             capture_output=True,
@@ -153,7 +156,7 @@ def main():
         line = res.stdout.strip().splitlines()[-1]
         crawl[f"local{n}"] = json.loads(line)
     eff = round(
-        (crawl["local8"]["urls_per_sec"] / crawl["local2"]["urls_per_sec"]) / 4.0, 3
+        (crawl["local4"]["urls_per_sec"] / crawl["local1"]["urls_per_sec"]) / 4.0, 3
     )
     crawl["cpu_probe"] = cpu_probe()
 
@@ -162,8 +165,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "crawl_urls_per_sec_local32",
-                "value": crawl["local32"]["urls_per_sec"],
+                "metric": "crawl_urls_per_sec_local4",
+                "value": crawl["local4"]["urls_per_sec"],
                 "unit": "urls/sec",
                 "queries": queries,
                 "sf": sf,

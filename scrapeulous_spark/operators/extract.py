@@ -24,7 +24,16 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
 
     Single-plan shape (one pass over body, one codegen unit — NOT a
     6-way self-union, which would rescan the page store per family):
-    build array<struct<kind, matches>> then explode twice."""
+    build array<struct<kind, matches>> then explode twice.
+
+    The input is round-robin repartitioned to 4x core count first:
+    regex scanning is CPU-dense and per-row-variable, so the handful of
+    uneven AQE-coalesced join partitions it usually arrives in leaves
+    cores idle behind stragglers (measured 3.7x slower than an even
+    32-way split at local[8] on the bench corpus). The extra body
+    shuffle is cheap relative to the scan it balances."""
+    sc = pages.sparkSession.sparkContext
+    pages = pages.repartition(sc.defaultParallelism * 4)
 
     def matches(kind: str):
         pats = FAMILIES[kind]

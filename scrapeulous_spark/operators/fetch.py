@@ -27,12 +27,19 @@ from pyspark.sql import functions as F
 OK_STATUSES = ("ok", "partial")
 
 
-def fetch_join(urls: DataFrame, pages: DataFrame) -> DataFrame:
+PAGE_COLS = ("url", "status", "fetch_ms", "out_links", "image_id", "caption", "title", "body")
+
+
+def fetch_join(urls: DataFrame, pages: DataFrame, columns: tuple = PAGE_COLS) -> DataFrame:
     """urls: must carry a 'url' column. Left-join the page store and
-    stamp fetch_ok. Missing url == network error (throw path)."""
-    page_cols = pages.select(
-        "url", "status", "fetch_ms", "out_links", "image_id", "caption", "title", "body"
-    )
+    stamp fetch_ok. Missing url == network error (throw path).
+
+    `columns` narrows the page-store scan: the payload columns (body,
+    out_links) are ~95% of the bytes, and any stage that doesn't need
+    them (scheduling windows, crawl_order bookkeeping) must not drag
+    them through its shuffles — pass the metadata subset and parquet
+    column pruning keeps the scan to a few MB."""
+    page_cols = pages.select(*columns)
     joined = urls.join(page_cols, "url", "left")
     return joined.withColumn(
         "fetch_ok", F.col("status").isin(*OK_STATUSES) & F.col("status").isNotNull()

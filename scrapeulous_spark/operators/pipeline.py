@@ -152,16 +152,32 @@ def dedup_lsh_buckets(spark, sf):
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
 )
 def dedup_lsh_pairs(spark, sf):
-    """Candidate near-dup pairs = equi-join on band buckets."""
+    """Candidate near-dup pairs from shared band buckets. Shaped as ONE
+    groupBy + in-bucket pair expansion rather than a self-join: the
+    self-join would compute the token-explode signature subtree twice
+    (no exchange reuse across differently-aliased sides — measured 2x),
+    and bucket membership lists are tiny (near-dup cluster size), so
+    the array cross-product is cheap and stays narrow."""
     from .catalog import REGISTRY
 
     b = REGISTRY["dedup_lsh_buckets"].spark(spark, sf)
-    a = b.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    c = b.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    grouped = (
+        b.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.filter(F.col("ids"), lambda x: x > a),
+                lambda x: F.struct(a.alias("doc_a"), x.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(c, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -302,8 +318,12 @@ def sim_cosine_topk(spark, sf):
         .cast("bigint")
         .alias("cos_x10000"),
     )
+    # scale path: orderBy+limit plans as TakeOrderedAndProject (per-
+    # partition partial top-k, no global single-partition window); the
+    # rank window then runs on the 10 surviving rows only
+    top = sims.orderBy(F.col("cos_x10000").desc(), "vec_id").limit(10)
     w = Window.orderBy(F.col("cos_x10000").desc(), "vec_id")
-    return sims.withColumn("rank", F.row_number().over(w)).filter("rank <= 10")
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 _N_PLANES = 8

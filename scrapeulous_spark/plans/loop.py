@@ -14,7 +14,7 @@ byte-identical results (tested in test_resume.py).
 
 Determinism: all ordering lives in explicit keys (seed_id, step,
 first_pos) — never in partition layout — so crawl_order and seen_set
-are invariant under local[8] vs local[32] (the two-cluster-size
+are invariant under any local[N] (the two-cluster-size
 criterion evidence).
 """
 
@@ -146,12 +146,17 @@ class CrawlEngine:
     # ----------------------------------------------------------- metrics
 
     def _record_metrics(self, superstep: int, stage: str, df: DataFrame, wall_ms: float):
+        body_bytes = (
+            F.coalesce(F.sum(F.length("body").cast("long")), F.lit(0))
+            if "body" in df.columns
+            else F.lit(0).cast("long")
+        )
         m = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias("ok_rows"),
-                F.coalesce(F.sum(F.length("body").cast("long")), F.lit(0)).alias("body_bytes"),
+                body_bytes.alias("body_bytes"),
             )
             .select(
                 F.lit(superstep).alias("superstep"),
@@ -217,8 +222,13 @@ class CrawlEngine:
             lineage={"superstep": 0, "stage": "invalid_seeds"},
         )
 
-        fetched = fetch_join(seeds.filter(is_valid).select("seed_id", "url"), pages)
-        fetched = fetched.persist()
+        # metadata-only fetch: scheduling/bookkeeping never touches the
+        # payload columns (body/out_links are ~95% of page-store bytes);
+        # parquet column pruning keeps this join to a few MB
+        meta_cols = ("url", "status", "fetch_ms", "title")
+        fetched = fetch_join(
+            seeds.filter(is_valid).select("seed_id", "url"), pages, columns=meta_cols
+        ).persist()
         self.crawl_order.append(
             fetched.select(
                 "seed_id",
@@ -230,10 +240,15 @@ class CrawlEngine:
             lineage={"superstep": 0},
         )
         ok = fetched.filter("fetch_ok")
+        # payload join happens ONCE, for extraction only: ok rows pick up
+        # body/out_links by url equi-join against the pruned payload scan
+        ok_payload = ok.select("seed_id", "url").join(
+            pages.select("url", "body", "out_links"), "url"
+        ).persist()
 
         # entity matches from seed pages (page_order 0)
         raw = extract_entities_raw(
-            ok.select("seed_id", F.lit(0).alias("page_order"), "body")
+            ok_payload.select("seed_id", F.lit(0).alias("page_order"), "body")
         )
         self.entities_raw.append(raw, lineage={"superstep": 0})
         self.entities.append(
@@ -246,16 +261,20 @@ class CrawlEngine:
         # itself may re-enter the frontier)
         if self.link_depth > 0:
             cands = expand_candidates(
-                ok.select("seed_id", "url", "out_links"), robots
+                ok_payload.select("seed_id", "url", "out_links"), robots
             ).withColumn("depth", F.lit(1))
             self.frontier.overwrite(cands, lineage={"superstep": 0})
-        # per-seed visited set = normalized seed url ∪ enqueued candidates
-        self.seen_pairs.append(
-            fetched.select("seed_id", U.normalize_col(F.col("url")).alias("url"))
-            .unionByName(self.frontier.read(self.spark).select("seed_id", "url"))
-            .distinct(),
-            lineage={"superstep": 0},
-        )
+        # per-seed visited set = normalized seed url ∪ enqueued candidates.
+        # Only the multi-depth extension ever anti-joins against it
+        # (expansion at depth d reads it only when d < link_depth), so at
+        # reference semantics (link_depth == 1) skip the write entirely.
+        if self.link_depth > 1:
+            self.seen_pairs.append(
+                fetched.select("seed_id", U.normalize_col(F.col("url")).alias("url"))
+                .unionByName(self.frontier.read(self.spark).select("seed_id", "url"))
+                .distinct(),
+                lineage={"superstep": 0},
+            )
         self._update_seen(
             fetched.select(U.normalize_col(F.col("url")).alias("url")).unionByName(
                 self.frontier.read(self.spark).select("url")
@@ -264,6 +283,7 @@ class CrawlEngine:
         )
         self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
         fetched.unpersist()
+        ok_payload.unpersist()
 
     def _superstep_depth(self, d: int):
         """Pop-and-fetch the depth-d frontier; expand into depth d+1 when
@@ -285,7 +305,9 @@ class CrawlEngine:
         # step numbering continues per seed
         offsets = order_so_far.groupBy("seed_id").agg(F.max("step").alias("step_offset"))
 
-        status = fetch_join(frontier, pages)
+        # scheduling shuffles/sorts metadata only — the LIFO window must
+        # never drag the payload columns through its exchange
+        status = fetch_join(frontier, pages, columns=("url", "status"))
         sched = (
             schedule_pops(status, budgets, used=used)
             .join(offsets, "seed_id", "left")
@@ -305,8 +327,15 @@ class CrawlEngine:
             ),
             lineage={"superstep": d},
         )
+        # payload join once for the scheduled+ok rows only
+        popped_payload = (
+            popped.filter("fetch_ok")
+            .select("seed_id", "url", "step", "pop_rank")
+            .join(pages.select("url", "body", "out_links"), "url")
+            .persist()
+        )
         raw = extract_entities_raw(
-            popped.filter("fetch_ok").select(
+            popped_payload.select(
                 "seed_id", F.col("step").cast("int").alias("page_order"), "body"
             )
         )
@@ -315,7 +344,7 @@ class CrawlEngine:
         if d < self.link_depth:
             # expand: enqueue order = (parent pop order, DOM order);
             # exclude anything this seed already visited or enqueued
-            parents = popped.filter("fetch_ok").select(
+            parents = popped_payload.select(
                 "seed_id", "url", "out_links", F.col("pop_rank").cast("long").alias("parent_rank")
             )
             cands = expand_candidates(parents, robots).join(
@@ -336,6 +365,7 @@ class CrawlEngine:
                 lineage={"superstep": d, "stage": "drain"},
             )
         self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
+        popped_payload.unpersist()
         sched.unpersist()
 
     def _finalize(self):
@@ -353,12 +383,14 @@ class CrawlEngine:
         images = self._read("images")
         fetched_urls = self.crawl_order.read(self.spark).filter("fetch_ok").select("url").distinct()
         embedded = (
-            fetched_urls.join(pages, "url")
+            fetched_urls.join(pages.select("url", "image_id", "caption"), "url")
             .filter(F.col("image_id").isNotNull())
             .select("image_id", F.col("caption").alias("page_caption"))
             .distinct()
         )
-        joined = embedded.join(images, "image_id")
+        # broadcast the small (image_id, caption) side: the alternative
+        # sort-merge join would shuffle the image BYTES column
+        joined = images.join(F.broadcast(embedded), "image_id")
         caption = joined.select(
             "image_id", (F.col("page_caption") == F.col("caption")).alias("caption_match")
         )

@@ -29,7 +29,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 16m, not the 128m default: the page-store payload scan must
+        # split finer than "file size / 128m" or a single ~250MB parquet
+        # caps every downstream body stage at 2 tasks regardless of
+        # cluster size. At 100 TB the same rule holds relative to core
+        # count; 16m keeps scan tasks ~1s each without drowning the
+        # scheduler.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

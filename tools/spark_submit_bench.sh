@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # North-rule launch evidence: the SAME job relaunched via
 #   spark-submit --py-files dist/scrapeulous_spark.zip
-# at two cluster sizes (local[2] and local[8] = N and 4N cores, in-sandbox stand-in
+# at two cluster sizes (local[1] and local[4] = N and 4N cores, in-sandbox stand-in
 # for N and 4N executors). Prints both JSON lines + scaling efficiency.
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -19,11 +19,11 @@ run () {
     tools/submit_crawl.py --scale bench 2>/dev/null | tail -1
 }
 
-J2=$(run 2);  echo "$J2"
-J8=$(run 8); echo "$J8"
-python - "$J2" "$J8" <<'PY'
+J1=$(run 1);  echo "$J1"
+J4=$(run 4); echo "$J4"
+python - "$J1" "$J4" <<'PY'
 import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 eff = (b["urls_per_sec"] / a["urls_per_sec"]) / 4.0
-print(json.dumps({"scaling_efficiency_2_to_8": round(eff, 3)}))
+print(json.dumps({"scaling_efficiency_1_to_4": round(eff, 3)}))
 PY
