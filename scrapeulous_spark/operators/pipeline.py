@@ -260,15 +260,22 @@ def dedup_ngram_jaccard(spark, sf):
 # =====================================================================
 
 _SCALED = """(SELECT vec_id, label,
-                     list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS emb
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS emb
               FROM embeddings)"""
 
 
 def _scaled_spark(spark, sf):
+    # x is FLOAT32: cast to double BEFORE the multiply — Spark promotes
+    # float*int to FLOAT (DuckDB to DOUBLE), and the float32 product
+    # rounds differently on ~1-in-10^4 components, which integer-scaled
+    # dot products then amplify
     return T(spark, sf, "embeddings").select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: F.round(x * 10000).cast("bigint")).alias("emb"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000).cast("bigint")
+        ).alias("emb"),
     )
 
 
@@ -404,6 +411,62 @@ def sim_embedding_neardup(spark, sf):
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos_x10000"))
         .filter(F.col("cos_x10000") >= 2000)
+    )
+
+
+_IVF_CELLS = 8
+
+
+@register(
+    "sim_ann_ivf",
+    f"""WITH scaled AS {_SCALED},
+        cents AS (
+          SELECT cell, list_transform(range(0, 64),
+                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
+                             THEN 5000 ELSE -5000 END) AS cemb
+          FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell)),
+        assign AS (
+          SELECT vec_id, cell,
+                 (SELECT sum(x * y) FROM (SELECT unnest(s.emb) AS x, unnest(c.cemb) AS y)) AS dot,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   (SELECT sum(x * y) FROM (SELECT unnest(s.emb) AS x, unnest(c.cemb) AS y)) DESC,
+                   cell) AS rn
+          FROM scaled s, cents c)
+        SELECT vec_id, cell, CAST(dot AS BIGINT) AS cell_affinity FROM assign WHERE rn = 1""",
+)
+def sim_ann_ivf(spark, sf):
+    """IVF (inverted-file) coarse quantization — the other standard ANN
+    scale path next to SRP-LSH (sim_ann_lsh_buckets): assign every
+    vector to its best of k deterministic ±0.5 centroids by integer dot
+    product; search then probes only the query's cell (inverted list).
+    Centroids are a tiny broadcast table; assignment is one narrow pass
+    + a per-vector top-1 window — O(n·k) with no pair shuffle. At 10^10
+    rows the cell id becomes the storage partition key so a probe is a
+    partition-pruned scan."""
+    scaled = _scaled_spark(spark, sf)
+    dim = 64
+    cents = spark.range(_IVF_CELLS).select(
+        F.col("id").cast("int").alias("cell"),
+        F.array(
+            *[
+                F.when(
+                    _h32(F.concat(F.col("id").cast("string"), F.lit(f":{i}")), "ivf") % 2 == 1,
+                    5000,
+                )
+                .otherwise(-5000)
+                .cast("bigint")
+                for i in range(dim)
+            ]
+        ).alias("cemb"),
+    )
+    pairs = scaled.crossJoin(F.broadcast(cents))
+    dot = _dot(F.col("emb"), F.col("cemb"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cell")
+    return (
+        pairs.select("vec_id", "cell", dot.alias("dot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cell", F.col("dot").alias("cell_affinity"))
     )
 
 
