@@ -11,14 +11,15 @@ Two parts:
      subprocesses at local[1] and local[4] (N and 4N cores — the
      in-sandbox stand-in for N and 4N executors, per BASELINE.md)
      -> URLs/sec at each + scaling efficiency = (thru4/thru1)/4.
-     N=1/4N=4 rather than 8/32 because this VM advertises 32 vCPUs
-     but measures ~8 effective parallel cores for separate processes
-     (see cpu_probe in the output: fixed-work-per-process wall is flat
-     to 8 procs, then doubles at 16 and triples at 32), and a SINGLE
-     JVM's compute threads saturate even earlier (~3x at 8 threads,
-     measured on both regex extraction and pure md5 stages) —
-     local[8]/local[32] would measure hypervisor time-slicing and JVM
-     thread-scheduling limits, not the engine's scaling.
+     N=1/4N=4 rather than 8/32 because in local mode both legs share
+     ONE JVM (one heap, one task scheduler), and a single JVM's
+     compute threads saturate well before the hardware does: real
+     engine stages (regex extraction, md5-over-30M-rows) gain only
+     ~2.8-3.0x from 2->8 local threads but 3.4-3.5x from 1->4. The
+     hardware itself is secondary (cpu_probe: ~0.85 efficiency at 8
+     separate processes, ~0.57 at 32). Real clusters run one JVM per
+     executor; 1->4 is the widest span local mode can measure without
+     the shared-JVM artifact dominating.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
 crawl at local[cpus] and prints a small JSON (used by the subprocess
@@ -92,20 +93,26 @@ def _probe_work(_):
     import hashlib
 
     h = b"x"
-    for _i in range(200_000):
+    for _i in range(2_000_000):
         h = hashlib.sha256(h).digest()
     return 1
 
 
 def cpu_probe() -> dict:
-    """Effective-parallelism probe: wall time of N fixed work units on N
-    processes. Flat = real cores; rising = vCPU time-slicing. Justifies
-    the N=2 / 4N=8 choice for the scaling comparison."""
+    """Effective-parallelism probe: wall time of N fixed ~1s work units
+    on N warm processes (first map warms the pool so fork cost is not
+    measured). Flat = real cores; rising = vCPU time-slicing. Idle-box
+    measurement: 1 proc 1.07s / 8 procs 1.26s / 32 procs 1.87s — i.e.
+    ~0.85 hardware efficiency at 8 procs, ~0.57 at 32. The hardware is
+    NOT the binding constraint for the N-vs-4N pair choice; the single
+    shared JVM is (see BENCH.md: real engine stages gain only ~2.8-3.0x
+    from 2->8 local-mode threads but 3.4-3.5x from 1->4)."""
     import multiprocessing as mp
 
     out = {}
     for n in (1, 8, 32):
         with mp.Pool(n) as p:
+            p.map(_probe_work, range(n))  # warm the pool
             t0 = time.time()
             p.map(_probe_work, range(n))
             out[f"procs{n}_wall_sec"] = round(time.time() - t0, 2)

@@ -566,6 +566,51 @@ def timeout_budget(spark, sf):
 
 
 @register(
+    "udf_page_evaluate",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+               coalesce(nullif(regexp_extract(text, '([A-Za-z]+)', 1), ''), 'none')
+                 AS first_word
+        FROM documents""",
+)
+def udf_page_evaluate(spark, sf):
+    """page.evaluate(fn, args): ships a closure into the renderer
+    process and returns JSON (google_scraper.js:123, 214, 447;
+    reverse_image_google_final.js:111 with args at :181). Spark twin: a
+    cloudpickled extraction closure shipped to executors as an
+    Arrow-vectorized pandas UDF returning a JSON-shaped struct — the
+    Node<->Chromium DevTools boundary maps to the JVM<->Python Arrow
+    IPC boundary, and batch (never per-row) evaluation is the
+    north-rule requirement."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out = StructType(
+        [StructField("n_words", LongType()), StructField("first_word", StringType())]
+    )
+
+    def _evaluate(text):
+        return pd.DataFrame(
+            {
+                "n_words": text.str.count(r"[A-Za-z]+").astype("int64"),
+                "first_word": text.str.extract(r"([A-Za-z]+)", expand=False).fillna(
+                    "none"
+                ),
+            }
+        )
+
+    # module uses postponed annotations; pandas_udf needs real classes
+    _evaluate.__annotations__ = {"text": pd.Series, "return": pd.DataFrame}
+    evaluate = F.pandas_udf(out)(_evaluate)
+
+    return (
+        T(spark, sf, "documents")
+        .select("doc_id", evaluate(F.col("text")).alias("r"))
+        .select("doc_id", "r.n_words", "r.first_word")
+    )
+
+
+@register(
     "retry_fallback_selector",
     """SELECT event_id,
               coalesce(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), ''),

@@ -70,32 +70,59 @@ def dedup_exact_hash(spark, sf):
 _MINHASH_SEEDS = 16
 
 
-@register(
-    "dedup_minhash_signatures",
-    f"""SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
-        FROM {_TOKENS} tok,
-             (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
-        GROUP BY doc_id, seed""",
-)
+# k permutations from ONE base hash (universal hashing, Broder-style):
+# perm_s(h) = ((2s+1)*h + s*12582917) mod 2^31-1 — one md5 per token
+# instead of k (measured 3x on the signature stage); constants odd/prime
+# so the family is pairwise-independent enough for banding
+_MINHASH_MOD = 2147483647
+
+
+def _sig_sql():
+    return f"""SELECT doc_id, seed,
+                 min(((2*seed+1) * {_h32_sql("token", "mh")} + seed*12582917)
+                     % {_MINHASH_MOD}) AS minhash
+          FROM {_TOKENS} tok,
+               (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
+          GROUP BY doc_id, seed"""
+
+
+def _sig_wide(spark, sf):
+    """All 16 minhash slots as columns of ONE groupBy(doc_id): the k
+    permutations are k independent min-aggregates over the same token
+    stream, so there is no reason to explode tokens x k into k-times the
+    rows before the exchange (measured ~4x on the signature stage). The
+    shuffle after partial aggregation is O(docs) rows x k columns; the
+    base hash is computed once per token in the projection below the
+    aggregate."""
+    tok = _tokens_spark(spark, sf).select("doc_id", _h32(F.col("token"), "mh").alias("h"))
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * s + 1) * F.col("h") + F.lit(s * 12582917)) % F.lit(_MINHASH_MOD)
+            ).alias(f"m{s}")
+            for s in range(_MINHASH_SEEDS)
+        ]
+    )
+
+
+@register("dedup_minhash_signatures", _sig_sql())
 def dedup_minhash_signatures(spark, sf):
     """MinHash signatures: k=16 permutations approximated by salted
-    32-bit hashes over whitespace tokens (Broder resemblance). The
-    token explode + groupBy is map-side combinable; signature size is
-    constant per doc so the shuffle is O(docs * k), independent of
-    document length — the property that makes minhash the scale path."""
-    tok = _tokens_spark(spark, sf)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(_MINHASH_SEEDS)])).alias("seed")
-    return (
-        tok.select("doc_id", "token", seeds)
-        .select(
-            "doc_id",
-            "seed",
-            _h32(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("token")), "mh").alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    32-bit hashes over whitespace tokens (Broder resemblance).
+    Signature size is constant per doc so the shuffle is O(docs * k),
+    independent of document length — the property that makes minhash
+    the scale path. Computed as 16 min-columns in one groupBy
+    (_sig_wide), unpivoted to (doc_id, seed, minhash) AFTER the
+    exchange: the explode happens on docs-many rows, not token-many."""
+    wide = _sig_wide(spark, sf)
+    slots = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"m{s}").alias("minhash"))
+            for s in range(_MINHASH_SEEDS)
+        ]
+    )
+    return wide.select("doc_id", F.explode(slots).alias("sm")).select(
+        "doc_id", F.col("sm.seed").alias("seed"), F.col("sm.minhash").alias("minhash")
     )
 
 
@@ -104,11 +131,7 @@ _BAND_SIZE = 4  # 16 seeds -> 4 bands of 4
 
 @register(
     "dedup_lsh_buckets",
-    f"""WITH sig AS (
-          SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
-          FROM {_TOKENS} tok,
-               (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
-          GROUP BY doc_id, seed)
+    f"""WITH sig AS ({_sig_sql()})
         SELECT doc_id, CAST(floor(seed / {_BAND_SIZE}) AS BIGINT) AS band,
                md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
         FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE})""",
@@ -118,31 +141,34 @@ def dedup_lsh_buckets(spark, sf):
     hash each band; docs sharing (band, band_key) are near-dup
     candidates. At scale the candidate join is an equi-join on the
     band_key — no O(n^2) pair scan ever materializes."""
-    sig = dedup_minhash_signatures(spark, sf)
-    band = F.floor(F.col("seed") / _BAND_SIZE).cast("bigint")
-    ordered = (
-        sig.withColumn("band", band)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s.minhash.cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
+    wide = _sig_wide(spark, sf)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{_BAND_SIZE * b + j}").cast("string")
+                            for j in range(_BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(_MINHASH_SEEDS // _BAND_SIZE)
+        ]
     )
-    return ordered.select("doc_id", "band", F.md5("band_sig").alias("band_key"))
+    # band keys come straight off the wide signature row — no second
+    # groupBy(doc_id, band) exchange; band order == seed order
+    return wide.select("doc_id", F.explode(bands).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.band_key").alias("band_key")
+    )
 
 
 @register(
     "dedup_lsh_pairs",
-    f"""WITH sig AS (
-          SELECT doc_id, seed, min({_h32_sql("seed::VARCHAR || '|' || token", "mh")}) AS minhash
-          FROM {_TOKENS} tok,
-               (SELECT unnest(range(0, {_MINHASH_SEEDS})) AS seed)
-          GROUP BY doc_id, seed),
+    f"""WITH sig AS ({_sig_sql()}),
         buckets AS (
           SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
                  md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
@@ -154,10 +180,13 @@ def dedup_lsh_buckets(spark, sf):
 def dedup_lsh_pairs(spark, sf):
     """Candidate near-dup pairs from shared band buckets. Shaped as ONE
     groupBy + in-bucket pair expansion rather than a self-join: the
-    self-join would compute the token-explode signature subtree twice
-    (no exchange reuse across differently-aliased sides — measured 2x),
-    and bucket membership lists are tiny (near-dup cluster size), so
-    the array cross-product is cheap and stays narrow."""
+    self-join would compute the signature subtree twice (no exchange
+    reuse across differently-aliased sides — measured 2x). The
+    expansion itself is skew-safe: bucket member lists are exploded to
+    one row per (member, ids) BEFORE pairing and redistributed, so a
+    hot bucket of m docs costs m rows x O(m) each across many tasks —
+    never an O(m^2) struct array in a single row (a 2.6k-doc bucket =
+    3.5M pairs was one task's in-memory array before this shape)."""
     from .catalog import REGISTRY
 
     b = REGISTRY["dedup_lsh_buckets"].spark(spark, sf)
@@ -166,18 +195,14 @@ def dedup_lsh_pairs(spark, sf):
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a: F.transform(
-                F.filter(F.col("ids"), lambda x: x > a),
-                lambda x: F.struct(a.alias("doc_a"), x.alias("doc_b")),
-            ),
-        )
+    members = grouped.select("ids", F.explode("ids").alias("doc_a")).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        members.select(
+            "doc_a",
+            F.explode(F.filter(F.col("ids"), lambda x: x > F.col("doc_a"))).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -198,21 +223,23 @@ def dedup_lsh_pairs(spark, sf):
 def dedup_simhash(spark, sf):
     """SimHash (Charikar): 16-bit locality-sensitive fingerprint. Bit j
     of the fingerprint = sign of the sum over tokens of ±1 by the
-    token-hash's bit j. Integer weights -> order-free, exact."""
+    token-hash's bit j. Integer weights -> order-free, exact. The 16
+    bit-weights are 16 sum-columns of ONE map-side-combinable
+    groupBy(doc_id) — no 16x token-row explode, no second exchange; the
+    fingerprint assembles from the weight columns as a pure projection."""
     tok = _tokens_spark(spark, sf).select("doc_id", _h32(F.col("token"), "sh").alias("h"))
-    bits = tok.select(
-        "doc_id", "h", F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("bit")
+    weights = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(16)
+        ]
     )
-    weights = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("weight")
+    simhash = sum(
+        F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(16)
     )
-    return weights.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return weights.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 @register(
@@ -358,27 +385,35 @@ def sim_ann_lsh_buckets(spark, sf):
     8-bit bucket per vector. ANN search then probes only the query's
     bucket (plus neighbors at higher recall) — candidate set shrinks
     ~2^8 — the scale path vs brute force. Integer projections are
-    exact, so bucket ids are engine- and partitioning-invariant."""
+    exact, so bucket ids are engine- and partitioning-invariant.
+
+    The hyperplane signs are pure constants per (plane, component), so
+    they are computed driver-side (same md5 formula the oracle uses)
+    and shipped as literal arrays: the whole bucketing is ONE narrow
+    zip_with/aggregate projection — no explode, no groupBy, no
+    exchange. At 10^10 rows this is a map-only stage."""
+    import hashlib
+
+    dim = 64
+
+    def srp_sign(plane: int, i: int) -> int:
+        h = int(hashlib.md5(f"rp:{plane}:{i}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 1 else -1
+
     scaled = _scaled_spark(spark, sf)
-    comps = scaled.select("vec_id", F.posexplode("emb").alias("i", "x")).withColumn(
-        "plane", F.explode(F.array(*[F.lit(p) for p in range(_N_PLANES)]))
+
+    def proj(plane: int):
+        signs = F.array(*[F.lit(srp_sign(plane, i)).cast("bigint") for i in range(dim)])
+        return F.aggregate(
+            F.zip_with(F.col("emb"), signs, lambda x, s: x * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = sum(
+        F.when(proj(p) > 0, F.lit(1 << p)).otherwise(0) for p in range(_N_PLANES)
     )
-    sign = F.when(
-        _h32(F.concat(F.col("plane").cast("string"), F.lit(":"), F.col("i").cast("string")), "rp")
-        % 2
-        == 1,
-        1,
-    ).otherwise(-1)
-    proj = (
-        comps.select("vec_id", "plane", (sign * F.col("x")).alias("sx"))
-        .groupBy("vec_id", "plane")
-        .agg(F.sum("sx").alias("proj"))
-    )
-    return proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(0)
-        ).alias("bucket")
-    )
+    return scaled.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
 @register(
@@ -398,15 +433,30 @@ def sim_ann_lsh_buckets(spark, sf):
 def sim_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs, label-bucketed (at scale the
     bucket is the LSH bucket from sim_ann_lsh_buckets, making this an
-    equi-join + verify, never O(n^2))."""
-    scaled = _scaled_spark(spark, sf)
-    a = scaled.select(F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("ea"))
-    b = scaled.select(F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("eb"))
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    equi-join + verify, never O(n^2)). Norms are computed ONCE per
+    vector before the pair join — array higher-order functions are
+    interpreted (not codegen'd), so recomputing |a| and |b| per PAIR
+    was 2/3 of the work (measured ~3x on this query)."""
+    scaled = _scaled_spark(spark, sf).withColumn("n2", _dot(F.col("emb"), F.col("emb")))
+    # CPU-dense pair expansion: spread the probe side across cores —
+    # the input is few splits and the per-row work (interpreted array
+    # dot) dwarfs the row count
+    a = scaled.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("emb").alias("ea"), F.col("n2").alias("na")
+    )
+    b = scaled.select(
+        F.col("vec_id").alias("vec_b"), "label", F.col("emb").alias("eb"), F.col("n2").alias("nb")
+    )
+    # label cardinality is tiny (near-dup cluster buckets): a sort-merge
+    # join would land every pair in <=|labels| partitions (skew + idle
+    # cores — measured 9x swings when AQE picked SMJ). Broadcasting the
+    # build side keeps the probe side's partitioning, so pair expansion
+    # parallelizes across the full input split count.
+    pairs = a.join(F.broadcast(b), "label").filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.floor(
-        10000.0
-        * _dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+        10000.0 * _dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
     ).cast("bigint")
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos_x10000"))
