@@ -17,7 +17,8 @@ Scale notes (100 TB / 10^10-frontier design):
     host — no driver-side loops, no collect, no per-row Python
   * the same-host gate means a seed's frontier lives on one host, so
     windows partition by seed_id and hot hosts are handled by salting
-    the host_bucket used for storage partitioning (see loop.py)
+    the host_bucket used for storage partitioning (salting.py, wired
+    into the frontier commits by loop.py::_write_frontier)
   * dedup is a per-seed groupBy (map-side partial agg) and the global
     seen-set update is a left_anti join, Bloom-prefiltered in seen.py
 """

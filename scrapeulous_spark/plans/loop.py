@@ -66,6 +66,9 @@ FRONTIER = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("first_pos", T.LongType()),
         T.StructField("depth", T.IntegerType()),
+        # salted storage-partition key (salting.py): hash(host) for cold
+        # hosts, hash(host, url) for hot ones — never an ordering key
+        T.StructField("host_bucket", T.IntegerType()),
     ]
 )
 # per-seed enqueued/visited set — the multi-depth anti-join target
@@ -120,6 +123,8 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         bloom_bits: int = 1 << 20,
         bloom_k: int = 4,
+        frontier_buckets: int = 32,
+        salt_hot_hosts: bool = True,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
@@ -127,6 +132,8 @@ class CrawlEngine:
         self.link_depth = link_depth
         self.validate_images = validate_images
         self.use_bloom = use_bloom
+        self.frontier_buckets = frontier_buckets
+        self.salt_hot_hosts = salt_hot_hosts
         self.bloom_params = {"n_buckets": bloom_buckets, "n_bits": bloom_bits, "k": bloom_k}
         self.bloom = self.wh.table("bloom", BLOOM)
         self.crawl_order = self.wh.table("crawl_order", CRAWL_ORDER)
@@ -169,6 +176,40 @@ class CrawlEngine:
             )
         )
         self.metrics.append(m, lineage={"superstep": superstep, "stage": stage})
+
+    def _hot_hosts(self, hosts: DataFrame) -> list[str]:
+        """Hot-host detection over a CHEAP, already-materialized source —
+        never a second pass over the unmaterialized expansion (measured:
+        re-deriving the candidate set just to count hosts cost ~60% of
+        crawl wall). At depth 0 the source is the seed-host histogram,
+        which is exact up to per-seed branching variance: the same-host
+        gate (social.js:115-119) makes every candidate's host equal its
+        seed's host. At deeper depths it is the current frontier's host
+        column — a metadata-only scan of the partitioned parquet."""
+        if not self.salt_hot_hosts:
+            return []
+        from ..operators.salting import detect_hot_hosts
+
+        return detect_hot_hosts(hosts, self.frontier_buckets)
+
+    def _write_frontier(self, cands: DataFrame, lineage: dict, hot: list[str]) -> None:
+        """Commit the frontier with salted host-bucket partitioning
+        (salting.py; north-rule skew handling): hot hosts spread
+        uniformly over all buckets, cold hosts colocated. The
+        repartition on host_bucket makes the write one balanced file
+        per bucket; the hive-partitioned layout makes per-bucket reads
+        directory-pruned. Single-pass: bucket stamping is a pure
+        projection and `hot` comes from _hot_hosts' cheap source."""
+        from ..operators.salting import with_host_bucket
+
+        out = with_host_bucket(cands, self.frontier_buckets, hot)
+        self.frontier.overwrite(
+            out.repartition(self.frontier_buckets, F.col("host_bucket")).select(
+                *[f.name for f in FRONTIER.fields]
+            ),
+            lineage={**lineage, "hot_hosts": hot},
+            partition_by="host_bucket",
+        )
 
     def _update_seen(self, urls: DataFrame, superstep: int):
         """Exact seen-set MERGE. With use_bloom, the partitioned Bloom
@@ -263,7 +304,8 @@ class CrawlEngine:
             cands = expand_candidates(
                 ok_payload.select("seed_id", "url", "out_links"), robots
             ).withColumn("depth", F.lit(1))
-            self.frontier.overwrite(cands, lineage={"superstep": 0})
+            hot = self._hot_hosts(ok.select(U.host_col(F.col("url")).alias("host")))
+            self._write_frontier(cands, lineage={"superstep": 0}, hot=hot)
         # per-seed visited set = normalized seed url ∪ enqueued candidates.
         # Only the multi-depth extension ever anti-joins against it
         # (expansion at depth d reads it only when d < link_depth), so at
@@ -351,17 +393,23 @@ class CrawlEngine:
                 self.seen_pairs.read(self.spark), ["seed_id", "url"], "left_anti"
             )
             nxt = cands.withColumn("depth", F.lit(d + 1)).persist()
-            self.frontier.overwrite(
-                nxt.select(*[f.name for f in FRONTIER.fields]),
-                lineage={"superstep": d, "stage": "expand"},
+            hot = self._hot_hosts(frontier.select("host"))
+            self._write_frontier(
+                nxt, lineage={"superstep": d, "stage": "expand"}, hot=hot
             )
             self.seen_pairs.append(nxt.select("seed_id", "url"), lineage={"superstep": d})
             self._update_seen(nxt.select("url"), superstep=d)
             nxt.unpersist()
         else:
-            # terminal depth: budget-exhausted leftovers are drained
+            # terminal depth: budget-exhausted leftovers are drained.
+            # Rows came off the partitioned frontier and keep their
+            # host_bucket stamp; no restamp/reshuffle — single-pass write
+            # with the bucket as a data column (the read path accepts
+            # both layouts).
             self.frontier.overwrite(
-                sched.filter(~F.col("scheduled")).select(*[f.name for f in FRONTIER.fields]),
+                sched.filter(~F.col("scheduled")).select(
+                    *[f.name for f in FRONTIER.fields]
+                ),
                 lineage={"superstep": d, "stage": "drain"},
             )
         self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)

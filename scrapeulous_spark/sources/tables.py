@@ -67,20 +67,29 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- write
 
-    def _write_data(self, df: DataFrame) -> str:
+    def _write_data(self, df: DataFrame, partition_by: str | None = None) -> str:
         sub = os.path.join(self.dir, "data", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(sub)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(sub)
         return sub
 
-    def append(self, df: DataFrame, lineage: dict | None = None) -> dict:
+    def append(
+        self, df: DataFrame, lineage: dict | None = None, partition_by: str | None = None
+    ) -> dict:
         cur = self.current()
-        dirs = (cur["dirs"] if cur else []) + [self._write_data(df)]
+        dirs = (cur["dirs"] if cur else []) + [self._write_data(df, partition_by)]
         return self._commit(dirs, lineage)
 
-    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> dict:
+    def overwrite(
+        self, df: DataFrame, lineage: dict | None = None, partition_by: str | None = None
+    ) -> dict:
         """MERGE-by-rewrite: the new snapshot references only the new data.
-        Old data dirs stay on disk for time travel until vacuum()."""
-        return self._commit([self._write_data(df)], lineage)
+        Old data dirs stay on disk for time travel until vacuum().
+        partition_by hive-partitions the data dir (Iceberg partition-spec
+        analog) so per-partition reads are directory-pruned scans."""
+        return self._commit([self._write_data(df, partition_by)], lineage)
 
     # ---------------------------------------------------------------- read
 
