@@ -69,7 +69,11 @@ def run_crawl(cpus: int) -> dict:
     warm_paths = ensure_corpus(SMOKE)
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name=f"bench_crawl_{cpus}")
     timings = []
-    for run_paths in (warm_paths, paths):
+    # warm-up on SMOKE, then TWO timed BENCH runs; report min(walls).
+    # min-of-k is the standard defense against transient host contention
+    # (this VM has noisy-neighbor days where identical back-to-back runs
+    # differ 2-3x — a single sample can invert the N-vs-4N comparison).
+    for run_paths in (warm_paths, paths, paths):
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.time()
             eng = CrawlEngine(spark, wh, run_paths)
@@ -78,13 +82,17 @@ def run_crawl(cpus: int) -> dict:
             n_seen = eng.result_seen().count()
             timings.append(time.time() - t0)
     spark.stop()
-    wall = timings[-1]
+    walls = timings[1:]
+    wall = min(walls)
     return {
         "cpus": cpus,
         "urls_fetched": n_urls,
         "seen_set": n_seen,
         "warmup_wall_sec": round(timings[0], 2),
         "wall_sec": round(wall, 2),
+        "wall_sec_all_runs": [round(w, 2) for w in walls],
+        # identical runs differing >1.5x = contended host; read with care
+        "noisy_host": bool(max(walls) > 1.5 * min(walls)),
         "urls_per_sec": round(n_urls / wall, 2),
     }
 
@@ -131,9 +139,12 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         q = REGISTRY[name]
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan compile + cache JIT
-        t0 = time.time()
-        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        walls = []
+        for _rep in range(2):  # min-of-2: transient host contention defense
+            t0 = time.time()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        out[name] = round(min(walls), 3)
     spark.stop()
     return out
 
@@ -152,19 +163,22 @@ def main():
 
     ensure_corpus(BENCH)
 
-    crawl = {}
+    crawl = {"cpu_probe_before": cpu_probe()}
     for n in (1, 4):
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n)],
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=3600,  # two timed BENCH runs per leg (min-of-2)
         )
         line = res.stdout.strip().splitlines()[-1]
         crawl[f"local{n}"] = json.loads(line)
     eff = round(
         (crawl["local4"]["urls_per_sec"] / crawl["local1"]["urls_per_sec"]) / 4.0, 3
     )
+    # before/after probes bracket the run: if either shows the box
+    # contended (procs1 well above the ~1.07s idle baseline, or ratios
+    # inflated), absolute walls — and even the N/4N ratio — are suspect
     crawl["cpu_probe"] = cpu_probe()
 
     queries = run_queries(sf_dir, cpus)
