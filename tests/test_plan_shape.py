@@ -1,0 +1,106 @@
+"""Physical-plan shape guards — the scale properties BENCH.md's fixes
+bought, locked in as assertions on `.explain` output so a regression
+is caught by tests instead of a benchmark run:
+
+  * dimension joins (robots, budgets) stay broadcast — no shuffle of
+    the big side on a small-key join
+  * the scheduling window never drags payload columns (body/out_links)
+    through its exchange — metadata-only scheduling
+  * the page-store scan under a metadata-only fetch_join is
+    column-pruned to the requested columns (no body bytes read)
+  * the salted frontier layout supports partition-pruned per-bucket
+    reads (PartitionFilters on host_bucket)
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scrapeulous_spark.operators.fetch import fetch_join
+from scrapeulous_spark.operators.frontier import expand_candidates, schedule_pops
+from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    paths = ensure_corpus(SMOKE)
+    return {name: spark.read.parquet(p) for name, p in paths.items()}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_robots_join_is_broadcast(corpus):
+    pages = corpus["pages"]
+    fetched = pages.select("seed_id", "url", "out_links") if "seed_id" in pages.columns else (
+        corpus["seeds"].select("seed_id", "url").join(pages.select("url", "out_links"), "url")
+    )
+    cands = expand_candidates(fetched, corpus["robots"])
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    # the robots side must be the broadcast side: no sort-merge join for it
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_budget_join_is_broadcast(corpus):
+    status = fetch_join(
+        corpus["seeds"].select("seed_id", "url"), corpus["pages"], columns=("url", "status")
+    )
+    sched = schedule_pops(
+        status.withColumn("host", F.lit("h")).withColumn("first_pos", F.lit(0).cast("long")),
+        corpus["budgets"],
+    )
+    assert "BroadcastHashJoin" in _plan(sched)
+
+
+def test_scheduling_plan_carries_no_payload_columns(corpus):
+    """The LIFO/budget window must shuffle metadata only: body and
+    out_links (~95% of page-store bytes) may not appear anywhere in the
+    scheduling plan when fetch_join is given the metadata column set."""
+    status = fetch_join(
+        corpus["seeds"].select("seed_id", "url"), corpus["pages"], columns=("url", "status")
+    )
+    sched = schedule_pops(
+        status.withColumn("host", F.lit("h")).withColumn("first_pos", F.lit(0).cast("long")),
+        corpus["budgets"],
+    )
+    plan = _plan(sched)
+    assert "body" not in plan
+    assert "out_links" not in plan
+
+
+def test_page_scan_column_pruned(corpus):
+    """Parquet column pruning must reach the page-store scan: a
+    metadata-only fetch_join reads a ReadSchema without body."""
+    status = fetch_join(
+        corpus["seeds"].select("seed_id", "url"), corpus["pages"], columns=("url", "status")
+    )
+    plan = _plan(status)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    page_reads = [ln for ln in read_schemas if "status" in ln]
+    assert page_reads, plan
+    assert all("body" not in ln for ln in page_reads), page_reads
+
+
+def test_frontier_bucket_read_partition_pruned(spark, tmp_path, corpus):
+    """Hive-partitioned frontier layout (salting.py + _write_frontier):
+    a per-bucket read must be a directory-pruned scan — host_bucket
+    shows up in PartitionFilters, not as a post-scan filter."""
+    from scrapeulous_spark.operators.salting import with_host_bucket
+
+    df = corpus["seeds"].select(
+        "seed_id",
+        "url",
+        F.lit("h0.example.com").alias("host"),
+    )
+    out = with_host_bucket(df, 8, [])
+    path = str(tmp_path / "frontier")
+    out.write.mode("overwrite").partitionBy("host_bucket").parquet(path)
+    read = spark.read.parquet(path).filter(F.col("host_bucket") == 3)
+    plan = _plan(read)
+    assert "PartitionFilters" in plan
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "host_bucket" in pf_line
