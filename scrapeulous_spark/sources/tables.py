@@ -101,7 +101,16 @@ class SnapshotTable:
                 raise KeyError(f"{self.name}: no snapshot {snapshot_id}")
         if not snaps or not snaps[-1]["dirs"]:
             return spark.createDataFrame([], self.schema)
-        return spark.read.schema(self.schema).parquet(*snaps[-1]["dirs"])
+        # one scan per data dir, unioned by name: a snapshot may mix
+        # hive-partitioned dirs (partition_by writes) with plain ones,
+        # and a single multi-path scan rejects that layout mix
+        # (CONFLICTING_DIRECTORY_STRUCTURES). Per-dir scans keep
+        # column pruning and partition pruning per commit.
+        parts = [spark.read.schema(self.schema).parquet(d) for d in snaps[-1]["dirs"]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def rollback(self, snapshot_id: int) -> None:
         """Drop snapshots newer than snapshot_id (0 == truncate table).
