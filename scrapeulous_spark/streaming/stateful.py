@@ -1,0 +1,151 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The batch engine keeps its URL-seen set and per-host budgets in
+snapshot tables (plans/loop.py). When seeds/links arrive continuously
+the same two pieces of state become *streaming state*: per-key state
+held by the engine across micro-batches, updated with Arrow-batched
+pandas (never per-row Python). These are the reference semantics
+re-expressed as Structured Streaming stateful operators:
+
+  * stream_url_seen_dedup — first-occurrence URL dedup across
+    micro-batches (social.js:127 `[...new Set(filtered)]`, the
+    URL-seen set), keyed by a hash bucket so state partitions evenly
+    at 10^10 URLs. State per bucket = packed int64 xxhash64 set; a
+    64-bit hash collision (birthday-bound ~3 expected at 10^10) can
+    only *drop* a URL, never duplicate one — the batch engine's
+    confirming anti-join (operators/seen.py) remains the exact path,
+    this is the streaming fast path.
+
+  * stream_host_budget_gate — per-host crawl budget with the
+    reference's decrement-on-success-only semantics (social.js:78-90,
+    SURVEY §1.4.3: a failed fetch consumes its frontier slot but NOT
+    budget). State per host = budget remaining; rows arriving after
+    exhaustion are dropped, exactly like the `while (... &&
+    max_requests > 0)` loop guard.
+
+Both operators emit deterministically under availableNow drains with
+one file per trigger: cross-batch order is micro-batch arrival order,
+in-batch order is an explicit (event_ts, seed_id) sort inside the
+pandas function — never partition layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+# packed little-endian int64 hash set; binary scales to millions of
+# urls per bucket without per-element Spark serialization overhead
+DEDUP_STATE = T.StructType([T.StructField("hashes", T.BinaryType())])
+
+GATE_OUT = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("fetch_ok", T.BooleanType()),
+        T.StructField("budget_after", T.LongType()),
+    ]
+)
+GATE_STATE = T.StructType([T.StructField("remaining", T.LongType())])
+
+
+def _xxh64(url_col):
+    # JVM-side xxhash64: the hash is computed in codegen'd Spark before
+    # the Arrow exchange; the pandas side only sees int64s
+    return F.xxhash64(url_col)
+
+
+def stream_url_seen_dedup(discovered: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """First-occurrence URL dedup across micro-batches.
+
+    Input: streaming DataFrame with (seed_id, url, event_ts).
+    Output: the subset of rows whose url was never emitted before, in
+    (event_ts, seed_id) order within each micro-batch.
+
+    Keyed by `pmod(xxhash64(url), n_buckets)` so the state store holds
+    n_buckets partitions of ~|seen|/n_buckets hashes each — the same
+    bucketing the batch Bloom filter uses (operators/seen.py); at
+    10^10 URLs state per bucket stays O(frontier/n_buckets).
+    """
+
+    def dedup(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            seen = np.frombuffer(state.get[0], dtype="<i8")
+        else:
+            seen = np.empty(0, dtype="<i8")
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["event_ts", "seed_id"], kind="stable")
+            h = pdf["h"].to_numpy(dtype="<i8")
+            # first occurrence within the batch AND not in cross-batch state
+            in_batch_first = ~pd.Series(h).duplicated().to_numpy()
+            fresh = in_batch_first & ~np.isin(h, seen)
+            if fresh.any():
+                out.append(pdf.loc[fresh, ["seed_id", "url", "event_ts"]])
+                seen = np.concatenate([seen, h[fresh]])
+        state.update((seen.tobytes(),))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    keyed = discovered.withColumn("h", _xxh64(F.col("url"))).withColumn(
+        "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        dedup, DEDUP_OUT, DEDUP_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_host_budget_gate(fetches: DataFrame, default_budget: int = 10) -> DataFrame:
+    """Per-host budget gate with decrement-on-success-only semantics.
+
+    Input: streaming DataFrame with (host, seed_id, url, event_ts,
+    fetch_ok, budget) — budget is the per-host allowance carried on
+    the row (stream-static join of a budgets table upstream; constant
+    per host). Output: rows admitted while the host's budget remained
+    positive, with the post-row remaining budget. A failed fetch is
+    admitted without decrementing (SURVEY §1.4.3); once remaining hits
+    0 every later row for that host is dropped.
+    """
+
+    def gate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        remaining = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["event_ts", "seed_id"], kind="stable")
+            if remaining is None:
+                b = pdf["budget"].iloc[0]
+                remaining = int(b) if pd.notna(b) else default_budget
+            if remaining <= 0:
+                continue
+            ok = pdf["fetch_ok"].to_numpy(dtype=bool)
+            # cumulative successes BEFORE each row: row admitted while
+            # budget not yet exhausted; only successes consume it
+            used_before = np.concatenate([[0], np.cumsum(ok)[:-1]])
+            admitted = used_before < remaining
+            sub = pdf.loc[admitted, ["host", "seed_id", "url", "event_ts", "fetch_ok"]].copy()
+            sub["budget_after"] = remaining - (used_before[admitted] + ok[admitted])
+            out.append(sub)
+            remaining -= int(ok[admitted].sum())
+        state.update((int(remaining if remaining is not None else default_budget),))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        gate, GATE_OUT, GATE_STATE, "append", GroupStateTimeout.NoTimeout
+    )
