@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+No Spark session needed — these cover the deterministic building
+blocks whose exactness the engine's north-rule guarantees rest on:
+the PNG/qpng codec (payload invariants), URL normalization twins
+(seen-set exactness), the cuckoo deletion sidecar, and phash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapeulous_spark.codec.phash import phash64, phash64_batch
+from scrapeulous_spark.codec.png import (
+    QPNG_STEP,
+    encode,
+    png_decode,
+    png_encode,
+    psnr,
+    quantize,
+)
+from scrapeulous_spark.functions import urls as U
+from scrapeulous_spark.operators.cuckoo import CuckooFilter
+
+# ------------------------------------------------------------------ strategies
+
+dims = st.integers(min_value=1, max_value=24)
+# phash needs at least one full 8x8 block (contract pinned below)
+phash_dims = st.integers(min_value=8, max_value=24)
+
+
+@st.composite
+def rgb_arrays(draw, sizes=dims):
+    h, w = draw(sizes), draw(sizes)
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+url_paths = st.text(
+    alphabet=st.sampled_from("abcdefghij0123456789-_/.#"), min_size=0, max_size=30
+)
+hosts = st.from_regex(r"[a-z][a-z0-9]{0,8}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+
+
+@st.composite
+def abs_urls(draw):
+    scheme = draw(st.sampled_from(["http", "https"]))
+    return f"{scheme}://{draw(hosts)}/{draw(url_paths)}"
+
+
+# ---------------------------------------------------------------------- codec
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_arrays())
+def test_png_roundtrip_exact_property(pix):
+    assert np.array_equal(png_decode(png_encode(pix)), pix)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_arrays())
+def test_qpng_error_bound_and_psnr(pix):
+    dec = png_decode(encode(pix, "qpng"))
+    err = np.abs(dec.astype(np.int16) - pix.astype(np.int16)).max()
+    assert err <= QPNG_STEP // 2
+    # worst case MSE = (step/2)^2 -> PSNR >= 20log10(255) - 10log10(4) ~ 42 dB
+    assert psnr(pix, dec) >= 40.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_arrays())
+def test_quantize_idempotent(pix):
+    q1 = quantize(pix)
+    assert np.array_equal(quantize(q1), q1)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rgb_arrays(), rgb_arrays())
+def test_psnr_symmetric_and_identity(a, b):
+    assert psnr(a, a) == float("inf")
+    if a.shape == b.shape:
+        assert abs(psnr(a, b) - psnr(b, a)) < 1e-9 or psnr(a, b) == psnr(b, a)
+
+
+@settings(max_examples=20, deadline=None)
+@given(rgb_arrays(sizes=phash_dims))
+def test_phash_batch_agrees_with_scalar(pix):
+    batch = phash64_batch([pix, pix])
+    assert int(batch[0]) == int(batch[1]) == phash64(pix)
+    assert -(1 << 63) <= phash64(pix) < (1 << 63)
+
+
+def test_phash_rejects_sub_block_images():
+    import pytest
+
+    with pytest.raises(ValueError):
+        phash64(np.zeros((7, 7, 3), dtype=np.uint8))
+
+
+# ----------------------------------------------------------------------- urls
+
+
+@settings(max_examples=50, deadline=None)
+@given(abs_urls())
+def test_normalize_idempotent_and_hashless(u):
+    n = U.normalize(u)
+    assert "#" not in n
+    assert U.normalize(n) == n
+
+
+@settings(max_examples=50, deadline=None)
+@given(abs_urls())
+def test_origin_plus_path_reassembles(u):
+    # every abs_urls() sample has a '/' after the host
+    assert U.origin_of(u) + U.path_of(u) == u
+    assert U.host_of(U.origin_of(u)) == U.host_of(u)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.one_of(abs_urls(), url_paths), abs_urls())
+def test_resolve_absolute_or_none_and_idempotent(link, seed):
+    origin = U.origin_of(seed)
+    r = U.resolve(link, origin)
+    if r is not None:
+        assert r.startswith("http://") or r.startswith("https://")
+        # resolving an already-absolute URL is the identity
+        assert U.resolve(r, origin) == r
+
+
+@settings(max_examples=50, deadline=None)
+@given(url_paths, abs_urls())
+def test_resolve_root_relative_keeps_seed_host(path, seed):
+    origin = U.origin_of(seed)
+    r = U.resolve("/" + path, origin)
+    assert r is not None
+    assert U.host_of(r) == U.host_of(seed)
+
+
+# --------------------------------------------------------------------- cuckoo
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(abs_urls(), min_size=0, max_size=80, unique=True))
+def test_cuckoo_no_false_negatives(urls):
+    f = CuckooFilter(n_buckets=1 << 8)
+    inserted = [u for u in urls if f.insert(u)]
+    for u in inserted:
+        assert f.contains(u)  # cuckoo filters never false-negative
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(abs_urls(), min_size=0, max_size=60, unique=True))
+def test_cuckoo_slot_count_invariant(urls):
+    f = CuckooFilter(n_buckets=1 << 8)
+    ins = sum(1 for u in urls if f.insert(u))
+    assert int((f.table != 0).sum()) == ins
+    dels = sum(1 for u in urls if f.delete(u))
+    # each successful delete clears exactly one occupied slot
+    assert int((f.table != 0).sum()) == ins - dels
+    assert dels >= min(ins, len(urls)) - (len(urls) - ins)  # every inserted url deletable
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(abs_urls(), min_size=0, max_size=40, unique=True))
+def test_cuckoo_serialization_roundtrip(urls):
+    f = CuckooFilter(n_buckets=1 << 8)
+    for u in urls:
+        f.insert(u)
+    g = CuckooFilter.from_bytes(f.to_bytes(), f.n_buckets)
+    assert np.array_equal(f.table, g.table)
+    for u in urls:
+        assert g.contains(u) == f.contains(u)
