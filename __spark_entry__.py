@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _run_engine(spark: SparkSession, validate_images: bool = True):
     from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.session import ship_package
     from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
 
+    ship_package(spark)
     paths = ensure_corpus(SMOKE)
     wh = tempfile.mkdtemp(prefix="crawl_wh_")
     eng = CrawlEngine(spark, wh, paths, validate_images=validate_images)
@@ -78,11 +80,21 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from scrapeulous_spark.operators import load_all_catalogs
+    from scrapeulous_spark.session import ship_package
+
+    def shipped(fn):
+        # driver-owned sessions (arbitrary cwd) need the package zip on
+        # their executors before any applyInPandas/mapInPandas stage runs
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: q.spark for name, q in load_all_catalogs().items()
+        name: shipped(q.spark) for name, q in load_all_catalogs().items()
     }
-    out.update(_engine_queries())
+    out.update({name: shipped(fn) for name, fn in _engine_queries().items()})
     return out
 
 

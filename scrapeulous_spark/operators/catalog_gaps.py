@@ -627,3 +627,47 @@ def retry_fallback_selector(spark, sf):
     return T(spark, sf, "events").select(
         "event_id", F.coalesce(prim, fb, F.lit("none")).alias("selected")
     )
+
+
+@register(
+    "seen_recrawl_membership",
+    """WITH u AS (SELECT 'http://h' || (o_custkey % 50)::VARCHAR ||
+                         '.example.com/o' || o_orderkey::VARCHAR AS url,
+                         o_orderkey
+                  FROM orders),
+         seen AS (SELECT DISTINCT url FROM u WHERE o_orderkey % 3 <> 0),
+         del  AS (SELECT DISTINCT url FROM u
+                  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0),
+         cand AS (SELECT DISTINCT url FROM u WHERE o_orderkey % 2 = 0)
+       SELECT url FROM cand
+       WHERE url NOT IN (SELECT url FROM seen
+                         WHERE url NOT IN (SELECT url FROM del))""",
+)
+def seen_recrawl_membership(spark, sf):
+    """Deletion-aware URL-seen membership (north_star's cuckoo-filter
+    sidecar): new = candidates \\ (seen \\ deleted). The engine path
+    routes through BOTH pruning filters — bloom over seen, per-shard
+    cuckoo over the tombstones — with the exact joins confirming, so
+    the oracle match proves the filters never change the result.
+    Engine integration: CrawlEngine.forget() / _update_seen
+    (plans/loop.py); unit invariants in tests/test_recrawl.py."""
+    from .seen import bloom_build, cuckoo_build, new_urls_exact
+
+    u = T(spark, sf, "orders").select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/o"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        "o_orderkey",
+    )
+    seen = u.filter("o_orderkey % 3 != 0").select("url").distinct()
+    deleted = u.filter("o_orderkey % 3 != 0 and o_orderkey % 7 = 0").select("url").distinct()
+    cand = u.filter("o_orderkey % 2 = 0").select("url").distinct()
+    params = dict(n_buckets=16, n_bits=1 << 16, k=4)
+    bloom = bloom_build(seen, **params)
+    cuckoo = cuckoo_build(deleted, n_buckets=16)
+    return new_urls_exact(
+        cand, seen, bloom=bloom, deleted=deleted, cuckoo=cuckoo, cuckoo_shards=16, **params
+    )

@@ -118,18 +118,133 @@ def bloom_merge(existing: DataFrame, delta: DataFrame, n_bits: int = 1 << 20) ->
     )
 
 
+CUCKOO_SCHEMA = "bucket int, filter binary"
+# per-shard cuckoo sizing: 2^10 buckets x 4 slots x 2 bytes = 8 KiB;
+# holds ~3.8k tombstones per shard at <95% load. Tombstone sets are
+# small relative to seen (that is the point of the sidecar), so shards
+# stay tiny; resize by raising n_buckets at build time if they don't.
+CUCKOO_FILTER_BUCKETS = 1 << 10
+
+
+def _shard(urls: DataFrame, n_buckets: int) -> DataFrame:
+    """Same shard key as the bloom buckets: pmod(xxhash64(url))."""
+    return urls.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def cuckoo_build(
+    deleted_urls: DataFrame,
+    n_buckets: int = 64,
+    filter_buckets: int = CUCKOO_FILTER_BUCKETS,
+) -> DataFrame:
+    """Serialize one cuckoo filter per shard of the tombstone set.
+    Insertion order is sorted-per-shard, so filters built anywhere
+    (any partitioning, any worker) are byte-identical — the same
+    determinism rule the Bloom bitmaps follow."""
+    from .cuckoo import CuckooFilter
+
+    sharded = _shard(deleted_urls.select("url").distinct(), n_buckets)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter(n_buckets=filter_buckets)
+        for u in sorted(pdf["url"]):
+            if not f.insert(u):  # shard overfull — resize at call site
+                raise ValueError("cuckoo shard overflow; raise filter_buckets")
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "filter": [f.to_bytes()]}
+        )
+
+    return sharded.groupBy("bucket").applyInPandas(build, schema=CUCKOO_SCHEMA)
+
+
+def cuckoo_prefilter(
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    n_buckets: int = 64,
+    filter_buckets: int = CUCKOO_FILTER_BUCKETS,
+) -> DataFrame:
+    """Stamp candidates with maybe_deleted (cuckoo hit). Cogrouped per
+    shard: each serialized filter crosses to Python once per group. A
+    miss PROVES the url is not tombstoned (cuckoo filters never
+    false-negative); hits go to the exact tombstone join."""
+    from .cuckoo import CuckooFilter
+
+    sharded = _shard(candidates, n_buckets)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_deleted boolean"
+
+    def check(key, cand: pd.DataFrame, flt: pd.DataFrame) -> pd.DataFrame:
+        res = cand.drop(columns=["bucket"])
+        if len(flt) == 0:
+            res["maybe_deleted"] = False
+        else:
+            f = CuckooFilter.from_bytes(bytes(flt["filter"].iloc[0]), filter_buckets)
+            res["maybe_deleted"] = [f.contains(u) for u in cand["url"]]
+        return res
+
+    return (
+        sharded.groupBy("bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(check, schema=out_schema)
+    )
+
+
 def new_urls_exact(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: DataFrame | None = None,
+    deleted: DataFrame | None = None,
+    cuckoo: DataFrame | None = None,
+    cuckoo_shards: int = 64,
     **bloom_params,
 ) -> DataFrame:
-    """Exactly the candidates not in seen. With a bloom, only maybe-seen
-    rows pay the anti-join probe; definitely-new rows bypass it."""
+    """Exactly the candidates not in the EFFECTIVE seen set
+    (``seen`` minus ``deleted`` tombstones). With a bloom, only
+    maybe-seen rows pay the anti-join probe; with a cuckoo sidecar over
+    the tombstones, only maybe-deleted rows pay the (extra) tombstone
+    join. Filters are pruners only — exactness never depends on them."""
     cand = candidates.select("url").distinct()
-    if bloom is None:
-        return cand.join(seen.select("url"), "url", "left_anti")
-    stamped = bloom_prefilter(cand, bloom, **bloom_params)
-    definitely_new = stamped.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = stamped.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return definitely_new.unionByName(maybe.join(seen.select("url"), "url", "left_anti"))
+    if deleted is None:
+        if bloom is None:
+            return cand.join(seen.select("url"), "url", "left_anti")
+        stamped = bloom_prefilter(cand, bloom, **bloom_params)
+        definitely_new = stamped.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = stamped.filter(F.col("maybe_seen")).drop("maybe_seen")
+        return definitely_new.unionByName(
+            maybe.join(seen.select("url"), "url", "left_anti")
+        )
+
+    # tombstone path: new = cand \ (seen \ deleted). The bloom is a
+    # STALE SUPERSET of the effective seen set (blooms cannot delete);
+    # the cuckoo sidecar routes around that staleness without a rebuild.
+    if bloom is not None:
+        stamped = bloom_prefilter(cand, bloom, **bloom_params)
+        definitely_new = stamped.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = stamped.filter(F.col("maybe_seen")).drop("maybe_seen")
+    else:
+        definitely_new = cand.limit(0)
+        maybe = cand
+    if cuckoo is not None:
+        # shard count MUST match cuckoo_build's: a shard-key mismatch
+        # would turn cuckoo misses into false "not tombstoned" proofs
+        cstamped = cuckoo_prefilter(maybe, cuckoo, n_buckets=cuckoo_shards)
+        not_deleted = cstamped.filter(~F.col("maybe_deleted")).drop("maybe_deleted")
+        maybe_del = cstamped.filter(F.col("maybe_deleted")).drop("maybe_deleted")
+    else:
+        not_deleted = maybe.limit(0)
+        maybe_del = maybe
+    # cuckoo-miss => definitely not tombstoned => plain seen anti-join
+    new_a = not_deleted.join(seen.select("url"), "url", "left_anti")
+    # cuckoo-hit => the url may be tombstoned: it is new iff it is not
+    # in seen, OR it is in seen but tombstoned (resurrectable)
+    seen_m = seen.select("url").distinct().withColumn("_in_seen", F.lit(True))
+    del_m = deleted.select("url").distinct().withColumn("_in_del", F.lit(True))
+    new_b = (
+        maybe_del.join(seen_m, "url", "left")
+        .join(del_m, "url", "left")
+        .filter(F.col("_in_seen").isNull() | F.col("_in_del").isNotNull())
+        .select("url")
+    )
+    return definitely_new.unionByName(new_a).unionByName(new_b)

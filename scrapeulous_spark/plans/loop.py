@@ -96,6 +96,14 @@ BLOOM = T.StructType(
         T.StructField("bits", T.BinaryType()),
     ]
 )
+# tombstone sidecar: deleted urls (recrawl/expiry) + per-shard cuckoo filters
+DELETED = T.StructType([T.StructField("url", T.StringType())])
+CUCKOO = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("filter", T.BinaryType()),
+    ]
+)
 METRICS = T.StructType(
     [
         T.StructField("superstep", T.IntegerType()),
@@ -125,6 +133,7 @@ class CrawlEngine:
         bloom_k: int = 4,
         frontier_buckets: int = 32,
         salt_hot_hosts: bool = True,
+        cuckoo_shards: int = 64,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
@@ -135,7 +144,10 @@ class CrawlEngine:
         self.frontier_buckets = frontier_buckets
         self.salt_hot_hosts = salt_hot_hosts
         self.bloom_params = {"n_buckets": bloom_buckets, "n_bits": bloom_bits, "k": bloom_k}
+        self.cuckoo_shards = cuckoo_shards
         self.bloom = self.wh.table("bloom", BLOOM)
+        self.deleted = self.wh.table("deleted", DELETED)
+        self.cuckoo = self.wh.table("cuckoo", CUCKOO)
         self.crawl_order = self.wh.table("crawl_order", CRAWL_ORDER)
         self.seen = self.wh.table("seen", SEEN)
         self.entities = self.wh.table("entities", ENTITIES)
@@ -211,37 +223,108 @@ class CrawlEngine:
             partition_by="host_bucket",
         )
 
+    def _has_tombstones(self) -> bool:
+        """Driver-side manifest peek — NO Spark job. The default crawl
+        (no forget() calls) must not pay any per-superstep cost for the
+        deletion sidecar's existence."""
+        cur = self.deleted.current()
+        return bool(cur and cur["dirs"])
+
     def _update_seen(self, urls: DataFrame, superstep: int):
-        """Exact seen-set MERGE. With use_bloom, the partitioned Bloom
-        filter (seen.py) prunes the anti-join probe side — only
+        """Exact seen-set MERGE over the EFFECTIVE seen set
+        (seen minus deleted tombstones). With use_bloom, the partitioned
+        Bloom filter (seen.py) prunes the anti-join probe side — only
         maybe-seen rows pay the join; the filter is maintained
         incrementally by OR-merging a delta built from just the
-        newly-admitted urls. Exactness NEVER depends on the filter:
-        false positives are rescued by the confirming anti-join
-        (property: engine output identical with/without bloom,
-        tests/test_seen_bloom.py)."""
+        newly-admitted urls. With tombstones (forget()/recrawl), the
+        cuckoo sidecar routes around the bloom's staleness (blooms
+        cannot delete) — only maybe-deleted rows pay the tombstone
+        join, and re-admitted urls are resurrected by DROPPING their
+        tombstone, never by re-appending to the big seen table.
+        Exactness NEVER depends on either filter: false positives are
+        rescued by the confirming joins (tests/test_seen_bloom.py,
+        tests/test_recrawl.py)."""
         cand = urls.select("url").distinct()
         seen = self.seen.read(self.spark)
-        if not self.use_bloom:
+        tomb = self._has_tombstones()
+        if not self.use_bloom and not tomb:
             new = cand.join(seen, "url", "left_anti")
             self.seen.append(new, lineage={"superstep": superstep})
             return
-        from ..operators.seen import bloom_build, bloom_merge, new_urls_exact
+        from ..operators.seen import bloom_build, bloom_merge, cuckoo_build, new_urls_exact
 
-        bloom = self.bloom.read(self.spark)
-        new = new_urls_exact(cand, seen, bloom=bloom, **self.bloom_params).persist()
-        self.seen.append(new, lineage={"superstep": superstep})
-        delta = bloom_build(
-            new,
-            n_buckets=self.bloom_params["n_buckets"],
-            n_bits=self.bloom_params["n_bits"],
-            k=self.bloom_params["k"],
-        )
-        self.bloom.overwrite(
-            bloom_merge(bloom, delta, n_bits=self.bloom_params["n_bits"]),
-            lineage={"superstep": superstep, "stage": "bloom_merge"},
-        )
+        bloom = self.bloom.read(self.spark) if self.use_bloom else None
+        deleted = self.deleted.read(self.spark) if tomb else None
+        cuckoo = self.cuckoo.read(self.spark) if tomb else None
+        params = self.bloom_params if self.use_bloom else {}
+        new = new_urls_exact(
+            cand,
+            seen,
+            bloom=bloom,
+            deleted=deleted,
+            cuckoo=cuckoo,
+            cuckoo_shards=self.cuckoo_shards,
+            **params,
+        ).persist()
+        if tomb:
+            resurrected = new.join(deleted, "url", "leftsemi").persist()
+            brand_new = new.join(deleted, "url", "left_anti").persist()
+            if not resurrected.isEmpty():
+                remaining = deleted.join(resurrected, "url", "left_anti").persist()
+                self.deleted.overwrite(
+                    remaining, lineage={"superstep": superstep, "stage": "resurrect"}
+                )
+                self.cuckoo.overwrite(
+                    cuckoo_build(remaining, n_buckets=self.cuckoo_shards),
+                    lineage={"superstep": superstep, "stage": "resurrect"},
+                )
+                remaining.unpersist()
+            resurrected.unpersist()
+        else:
+            brand_new = new
+        self.seen.append(brand_new, lineage={"superstep": superstep})
+        if self.use_bloom:
+            delta = bloom_build(
+                brand_new,
+                n_buckets=self.bloom_params["n_buckets"],
+                n_bits=self.bloom_params["n_bits"],
+                k=self.bloom_params["k"],
+            )
+            self.bloom.overwrite(
+                bloom_merge(bloom, delta, n_bits=self.bloom_params["n_bits"]),
+                lineage={"superstep": superstep, "stage": "bloom_merge"},
+            )
+        if tomb:
+            brand_new.unpersist()
         new.unpersist()
+
+    # ------------------------------------------------------ recrawl/expiry
+
+    def forget(self, urls: DataFrame) -> None:
+        """Tombstone previously-seen URLs so a later crawl re-admits and
+        re-fetches them (recrawl/expiry — the deletion semantics the
+        Bloom filter cannot express, north_star's cuckoo sidecar).
+
+        MERGE-shape at 10^10 scale: the big append-only ``seen`` table
+        is NEVER rewritten; only the small tombstone set is (overwrite
+        of deleted + rebuild of its per-shard cuckoo filters, both
+        O(|tombstones|))."""
+        from ..operators.seen import cuckoo_build
+
+        tombs = (
+            urls.select("url")
+            .distinct()
+            .join(self.seen.read(self.spark), "url", "leftsemi")
+        )
+        if self._has_tombstones():
+            tombs = self.deleted.read(self.spark).unionByName(tombs).distinct()
+        tombs = tombs.persist()
+        self.deleted.overwrite(tombs, lineage={"stage": "forget"})
+        self.cuckoo.overwrite(
+            cuckoo_build(tombs, n_buckets=self.cuckoo_shards),
+            lineage={"stage": "forget"},
+        )
+        tombs.unpersist()
 
     # --------------------------------------------------------- supersteps
 
@@ -459,6 +542,8 @@ class CrawlEngine:
             "seen_pairs": self.seen_pairs,
             "payload_report": self.payload_report,
             "bloom": self.bloom,
+            "deleted": self.deleted,
+            "cuckoo": self.cuckoo,
             "metrics": self.metrics,
         }
 
@@ -503,7 +588,12 @@ class CrawlEngine:
         return self.crawl_order.read(self.spark)
 
     def result_seen(self) -> DataFrame:
-        return self.seen.read(self.spark)
+        """Effective seen set: the append-only seen table minus any
+        tombstones (anti-join only materializes when forget() was used)."""
+        seen = self.seen.read(self.spark)
+        if self._has_tombstones():
+            seen = seen.join(self.deleted.read(self.spark), "url", "left_anti")
+        return seen
 
     def result_entities(self) -> DataFrame:
         # entities table may contain appends from multiple commits; the

@@ -7,6 +7,49 @@ import os
 
 from pyspark.sql import SparkSession
 
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_PKG_DIR)
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers no
+    matter the driver's cwd/sys.path (the driver contract creates its
+    own SparkSession from an arbitrary cwd): build the --py-files zip
+    if stale and ``addPyFile`` it once per SparkContext. Closures in
+    applyInPandas/mapInPandas stages are pickled BY REFERENCE to this
+    package, so workers must be able to import it; on a real cluster
+    this is the same artifact ``spark-submit --py-files`` ships
+    (tools/spark_submit_bench.sh)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_scrapeulous_pkg_shipped", False):
+        return
+    out = os.path.join(_REPO, "dist", "scrapeulous_spark.zip")
+    newest = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(_PKG_DIR)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        import zipfile
+
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                if "__pycache__" in root:
+                    continue
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, out)
+    try:
+        sc.addPyFile(out)
+    except Exception:
+        pass  # already registered (e.g. spark-submit --py-files) — workers have it
+    sc._scrapeulous_pkg_shipped = True
+
 
 def get_spark(
     cpus: int | None = None,
@@ -41,4 +84,5 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
