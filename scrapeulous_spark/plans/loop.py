@@ -547,6 +547,28 @@ class CrawlEngine:
             "metrics": self.metrics,
         }
 
+    # tables whose state is GLOBAL across crawl rounds (the url-seen
+    # world-state); everything else is per-round output
+    KEEP_ACROSS_ROUNDS = ("seen", "bloom", "deleted", "cuckoo")
+
+    def new_round(self) -> None:
+        """Begin a fresh crawl round over the same warehouse: truncate
+        the per-round tables (crawl_order, frontier, entities, reports,
+        metrics) but keep the global URL-seen state — seen/bloom plus
+        the tombstone sidecar — so the next ``run(resume=True)``
+        re-fetches everything yet appends to ``seen`` ONLY urls that
+        are brand-new or were forget()-tombstoned (recrawl/expiry
+        semantics). Round transitions are snapshot commits like any
+        other: a crash between new_round() and run() resumes cleanly."""
+        snaps = {}
+        for name, t in self._all_tables().items():
+            if name in self.KEEP_ACROSS_ROUNDS:
+                snaps[name] = (t.current() or {"snapshot_id": 0})["snapshot_id"]
+            else:
+                t.rollback(0)
+                snaps[name] = 0
+        self.wh.save_state({"superstep": 0, "snapshots": snaps})
+
     def _checkpoint(self, superstep: int) -> None:
         """Commit protocol: record the per-table snapshot ids reached at a
         superstep barrier. Resume rolls every table back to these ids, so a

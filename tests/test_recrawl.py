@@ -151,3 +151,32 @@ def test_engine_forget_with_bloom_identical(spark, tmp_path):
         )
         outs[label] = sorted(r.url for r in eng.result_seen().collect())
     assert outs["plain"] == outs["bloom"]
+
+
+def test_engine_recrawl_rounds(spark, tmp_path):
+    """Full recrawl round: forget() victims, new_round(), run again.
+    Every victim is re-discovered (tombstones drained), the effective
+    seen set returns to round 1's, and the physical seen table gets
+    ZERO new appends (resurrection never re-appends)."""
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), paths, validate_images=False, cuckoo_shards=8
+    )
+    eng.run()
+    seen1 = sorted(r.url for r in eng.result_seen().collect())
+    order1 = sorted(map(tuple, eng.result_crawl_order().collect()))
+    physical1 = eng.seen.read(spark).count()
+
+    victims = seen1[::7]
+    eng.forget(spark.createDataFrame([(u,) for u in victims], ["url"]))
+    assert len(sorted(r.url for r in eng.result_seen().collect())) == len(seen1) - len(victims)
+
+    eng.new_round()
+    eng.run(resume=True)
+    assert sorted(r.url for r in eng.result_seen().collect()) == seen1
+    assert sorted(map(tuple, eng.result_crawl_order().collect())) == order1
+    assert eng.seen.read(spark).count() == physical1  # no duplicate appends
+    assert eng.deleted.read(spark).count() == 0  # all tombstones drained
