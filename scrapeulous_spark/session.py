@@ -71,6 +71,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # throughput GC, not default G1: the regex-extraction stage
+        # (dominant crawl cost) allocates heavily, and G1's concurrent
+        # marking threads compete with the compute threads. Measured on
+        # the BENCH extraction stage, best-of-3: 1->4-thread speedup
+        # 3.61x (G1) -> 3.87x (ParallelGC) and ~5-11% faster absolute
+        # walls at both levels. Same flag on executors for cluster mode.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         # 16m, not the 128m default: the page-store payload scan must
         # split finer than "file size / 128m" or a single ~250MB parquet

@@ -15,6 +15,8 @@ run () {
     --conf spark.ui.enabled=false \
     --conf spark.sql.shuffle.partitions="$1" \
     --conf spark.sql.adaptive.enabled=true \
+    --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
+    --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
     --py-files dist/scrapeulous_spark.zip \
     tools/submit_crawl.py --scale bench 2>/dev/null | tail -1
 }
