@@ -671,3 +671,57 @@ def seen_recrawl_membership(spark, sf):
     return new_urls_exact(
         cand, seen, bloom=bloom, deleted=deleted, cuckoo=cuckoo, cuckoo_shards=16, **params
     )
+
+
+def _proxy_wave_oracle():
+    from .pipeline import _h32_sql
+
+    return f"""WITH s AS (SELECT 'http://h' || (o_custkey % 50)::VARCHAR ||
+                         '.example.com/o' || o_orderkey::VARCHAR AS url,
+                         'h' || (o_custkey % 50)::VARCHAR || '.example.com' AS host,
+                         o_orderkey
+                  FROM orders),
+         p AS (SELECT url, o_orderkey,
+                      {_h32_sql("host", "px")} % 8 AS proxy_id FROM s)
+       SELECT url, proxy_id,
+              (row_number() OVER (PARTITION BY proxy_id
+                                  ORDER BY o_orderkey, url) - 1) // 4 AS wave
+       FROM p"""
+
+
+@register("gate_proxy_pool", _proxy_wave_oracle())
+def gate_proxy_pool(spark, sf):
+    """Proxy-pool gating (north_star: "proxy/politeness gating"; the
+    reference's cloud infra routes fetches through a proxy pool —
+    README.md:3-5 — though the repo itself carries no proxy code, so
+    the semantics here are the standard crawl practice): sticky
+    host->proxy affinity (hash of host over an 8-proxy pool, keeping
+    per-site cookies/rate-limits on one egress IP) plus per-proxy
+    concurrency waves — fetch k on a proxy runs in wave (k-1) div C
+    (C=4 concurrent slots per proxy); waves serialize, peers within a
+    wave run concurrently. Pure window-function rate accounting, same
+    shape as schedule_pops' budget windows. At scale the window
+    partitions by proxy_id over one superstep's scheduled rows (budget-
+    bounded per seed), never the whole frontier."""
+    from .pipeline import _h32
+
+    s = T(spark, sf, "orders").select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example.com/o"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        "o_orderkey",
+    )
+    p = s.select("url", "o_orderkey", (_h32(F.col("host"), "px") % 8).alias("proxy_id"))
+    return p.select(
+        "url",
+        "proxy_id",
+        F.expr("(row_number() OVER (PARTITION BY proxy_id ORDER BY o_orderkey, url) - 1) div 4")
+        .cast("bigint")
+        .alias("wave"),
+    )
