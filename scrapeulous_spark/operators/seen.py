@@ -158,6 +158,24 @@ def cuckoo_build(
     return sharded.groupBy("bucket").applyInPandas(build, schema=CUCKOO_SCHEMA)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _fp_alt_lut():
+    """LUT for the partial-key alt-index hash: LUT[fp] =
+    crc32(fp as 2 LE bytes) & 0x7FFFFFFF — exactly
+    cuckoo._alt_index's inner hash, vectorized over all 2^16
+    fingerprints (built once per python worker, ~50ms)."""
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(fp.to_bytes(2, "little")) & 0x7FFFFFFF for fp in range(1 << 16)),
+        dtype=np.int64,
+        count=1 << 16,
+    )
+
+
 def cuckoo_prefilter(
     candidates: DataFrame,
     cuckoo: DataFrame,
@@ -167,25 +185,47 @@ def cuckoo_prefilter(
     """Stamp candidates with maybe_deleted (cuckoo hit). Cogrouped per
     shard: each serialized filter crosses to Python once per group. A
     miss PROVES the url is not tombstoned (cuckoo filters never
-    false-negative); hits go to the exact tombstone join."""
-    from .cuckoo import CuckooFilter
+    false-negative); hits go to the exact tombstone join.
 
+    No per-row Python: the fingerprint and primary index are computed
+    JVM-side (``crc32`` — bit-identical to zlib.crc32, the hash
+    CuckooFilter uses), the alt index comes from a 2^16-entry numpy
+    LUT, and the probe is two vectorized gathers over the slot table."""
     sharded = _shard(candidates, n_buckets)
+    fp_raw = F.pmod(
+        F.crc32(F.encode(F.concat(F.lit("fp:"), F.col("url")), "UTF-8")), F.lit(1 << 16)
+    )
+    hashed = sharded.withColumn(
+        "cfp", F.when(fp_raw == 0, F.lit(1)).otherwise(fp_raw).cast("long")
+    ).withColumn(
+        "ci1",
+        F.pmod(
+            F.crc32(F.encode(F.concat(F.lit("ix:"), F.col("url")), "UTF-8")),
+            F.lit(filter_buckets),
+        ).cast("long"),
+    )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     ) + ", maybe_deleted boolean"
 
     def check(key, cand: pd.DataFrame, flt: pd.DataFrame) -> pd.DataFrame:
-        res = cand.drop(columns=["bucket"])
+        res = cand.drop(columns=["bucket", "cfp", "ci1"])
         if len(flt) == 0:
             res["maybe_deleted"] = False
         else:
-            f = CuckooFilter.from_bytes(bytes(flt["filter"].iloc[0]), filter_buckets)
-            res["maybe_deleted"] = [f.contains(u) for u in cand["url"]]
+            table = np.frombuffer(bytes(flt["filter"].iloc[0]), dtype=np.uint16).reshape(
+                filter_buckets, -1
+            )
+            fp = cand["cfp"].to_numpy(dtype=np.int64)
+            i1 = cand["ci1"].to_numpy(dtype=np.int64)
+            i2 = (i1 ^ _fp_alt_lut()[fp]) % filter_buckets
+            res["maybe_deleted"] = (table[i1] == fp[:, None]).any(axis=1) | (
+                table[i2] == fp[:, None]
+            ).any(axis=1)
         return res
 
     return (
-        sharded.groupBy("bucket")
+        hashed.groupBy("bucket")
         .cogroup(cuckoo.groupBy("bucket"))
         .applyInPandas(check, schema=out_schema)
     )

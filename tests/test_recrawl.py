@@ -180,3 +180,36 @@ def test_engine_recrawl_rounds(spark, tmp_path):
     assert sorted(map(tuple, eng.result_crawl_order().collect())) == order1
     assert eng.seen.read(spark).count() == physical1  # no duplicate appends
     assert eng.deleted.read(spark).count() == 0  # all tombstones drained
+
+
+def test_cuckoo_prefilter_matches_python_probe(spark, frames):
+    """The vectorized JVM-hash + numpy-gather probe must agree with
+    CuckooFilter.contains on every candidate (hits AND misses)."""
+    from scrapeulous_spark.operators.cuckoo import CuckooFilter
+    from scrapeulous_spark.operators.seen import CUCKOO_FILTER_BUCKETS
+
+    seen, deleted, cand = frames
+    cuckoo = cuckoo_build(deleted, n_buckets=16)
+    stamped = {
+        r.url: r.maybe_deleted
+        for r in cuckoo_prefilter(cand.select("url").distinct(), cuckoo, n_buckets=16).collect()
+    }
+    # rebuild the per-shard filters driver-side and probe in pure python
+    shard_bytes = {r.bucket: bytes(r.filter) for r in cuckoo.collect()}
+    from pyspark.sql import functions as F
+
+    shard_of = {
+        r.url: r.b
+        for r in cand.select("url")
+        .distinct()
+        .withColumn("b", F.pmod(F.xxhash64("url"), F.lit(16)).cast("int"))
+        .collect()
+    }
+    for url, got in stamped.items():
+        b = shard_of[url]
+        if b not in shard_bytes:
+            expected = False
+        else:
+            f = CuckooFilter.from_bytes(shard_bytes[b], CUCKOO_FILTER_BUCKETS)
+            expected = f.contains(url)
+        assert got == expected, url
