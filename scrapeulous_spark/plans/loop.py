@@ -569,6 +569,15 @@ class CrawlEngine:
                 snaps[name] = 0
         self.wh.save_state({"superstep": 0, "snapshots": snaps})
 
+    def vacuum(self) -> None:
+        """Expire non-current snapshots' data files on every table
+        (Iceberg ``expire_snapshots`` analog). Time travel to older
+        snapshots is gone after this; resume state still points at the
+        current ones. Run between rounds at 10^10 scale or the
+        superseded frontier/seen rewrites accumulate unboundedly."""
+        for t in self._all_tables().values():
+            t.vacuum()
+
     def _checkpoint(self, superstep: int) -> None:
         """Commit protocol: record the per-table snapshot ids reached at a
         superstep barrier. Resume rolls every table back to these ids, so a

@@ -213,3 +213,27 @@ def test_cuckoo_prefilter_matches_python_probe(spark, frames):
             f = CuckooFilter.from_bytes(shard_bytes[b], CUCKOO_FILTER_BUCKETS)
             expected = f.contains(url)
         assert got == expected, url
+
+
+def test_engine_vacuum_preserves_current_state(spark, tmp_path):
+    """vacuum() expires superseded data dirs; current reads, resume
+    state, and a follow-on round all keep working."""
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh"), paths, validate_images=False, cuckoo_shards=8
+    )
+    eng.run()
+    seen = sorted(r.url for r in eng.result_seen().collect())
+    order = sorted(map(tuple, eng.result_crawl_order().collect()))
+
+    eng.vacuum()
+    assert sorted(r.url for r in eng.result_seen().collect()) == seen
+    assert sorted(map(tuple, eng.result_crawl_order().collect())) == order
+
+    # a fresh round over the vacuumed warehouse still works end-to-end
+    eng.new_round()
+    eng.run(resume=True)
+    assert sorted(r.url for r in eng.result_seen().collect()) == seen
