@@ -71,18 +71,34 @@ def _xxh64(url_col):
     return F.xxhash64(url_col)
 
 
-def stream_url_seen_dedup(discovered: DataFrame, n_buckets: int = 32) -> DataFrame:
+def stream_url_seen_dedup(
+    discovered: DataFrame,
+    n_buckets: int = 32,
+    initial_seen: DataFrame | None = None,
+) -> DataFrame:
     """First-occurrence URL dedup across micro-batches.
 
     Input: streaming DataFrame with (seed_id, url, event_ts).
     Output: the subset of rows whose url was never emitted before, in
     (event_ts, seed_id) order within each micro-batch.
 
+    initial_seen: optional BATCH DataFrame with a `url` column (e.g.
+    ``CrawlEngine.result_seen()`` — the effective seen set, tombstones
+    excluded): the batch→stream bridge. Implemented as a stream-static
+    left_anti join IN FRONT of the stateful dedup — a batch-seen url is
+    suppressed in every micro-batch without ever entering stream state,
+    which is exactly initial-state semantics (the Spark-4-native
+    initial-state form lives in streaming/tws.py, gated on protobuf).
+
     Keyed by `pmod(xxhash64(url), n_buckets)` so the state store holds
     n_buckets partitions of ~|seen|/n_buckets hashes each — the same
     bucketing the batch Bloom filter uses (operators/seen.py); at
     10^10 URLs state per bucket stays O(frontier/n_buckets).
     """
+    if initial_seen is not None:
+        discovered = discovered.join(
+            initial_seen.select("url").distinct(), "url", "left_anti"
+        )
 
     def dedup(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
