@@ -43,6 +43,24 @@ FAMILIES: dict[str, list[str]] = {
     "github": [GITHUB],
 }
 
+# kind -> per-pattern-pass literal prefilters: every possible match of
+# the pattern contains at least ONE of the listed literals (they are
+# mandatory literal atoms of the regex), so `any(lit in body)` false
+# implies zero matches and the backtracking scan can be skipped
+# entirely. None = no usable literal (generic phone needs only any 3
+# digits). This is a pure pruning device — results are provably
+# identical with or without it (tests/test_properties.py::
+# test_guard_literals_sound; tests/test_corpus_oracle.py::
+# test_guarded_spark_extraction_matches_python_twin).
+REQUIRED_LITERALS: dict[str, list[list[str] | None]] = {
+    "email": [["@"]],
+    "phone": [["+"], None],
+    "facebook": [["facebook.com", "fb.com"]],
+    "twitter": [["twitter.com"]],
+    "instagram": [["instagram.com/"]],
+    "github": [["github.com/"]],
+}
+
 # accumulation order across kinds follows extractSocialInformation
 # (social.js:224-231): emails, phones, facebook, twitter, instagram, github
 KIND_ORDER = ["email", "phone", "facebook", "twitter", "instagram", "github"]

@@ -21,6 +21,7 @@ criterion evidence).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -156,6 +157,25 @@ class CrawlEngine:
         self.seen_pairs = self.wh.table("seen_pairs", SEEN_PAIRS)
         self.payload_report = self.wh.table("payload_report", PAYLOAD_REPORT)
         self.metrics = self.wh.table("metrics", METRICS)
+        # one background driver thread: each superstep's CPU-dense
+        # extraction job runs concurrently with the latency-bound
+        # metadata commits (frontier write, seen MERGE). Results are
+        # unaffected — both branches read only already-persisted
+        # DataFrames and commit to DISJOINT tables; FAIR pools
+        # (session.py) let the small jobs' tasks fill slots the big
+        # job's stragglers leave idle. Checkpoints happen after join().
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def _overlap(self, fn, *args, **kwargs):
+        """Run fn on the background thread in the 'extract' FAIR pool."""
+
+        def task():
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "extract"
+            )
+            return fn(*args, **kwargs)
+
+        return self._pool.submit(task)
 
     # ------------------------------------------------------------ inputs
 
@@ -369,12 +389,17 @@ class CrawlEngine:
         ok_payload = ok.select("seed_id", "url").join(
             pages.select("url", "body", "out_links"), "url"
         ).persist()
+        ok_payload.count()  # materialize ONCE before both threads read it
 
-        # entity matches from seed pages (page_order 0)
+        # entity matches from seed pages (page_order 0) — the CPU-dense
+        # regex job runs on the background thread, overlapping all the
+        # metadata-scale commits below (titles, frontier, seen)
         raw = extract_entities_raw(
             ok_payload.select("seed_id", F.lit(0).alias("page_order"), "body")
         )
-        self.entities_raw.append(raw, lineage={"superstep": 0})
+        extract_fut = self._overlap(
+            self.entities_raw.append, raw, lineage={"superstep": 0}
+        )
         self.entities.append(
             seed_page_titles(ok.select("seed_id", "title")), lineage={"superstep": 0}
         )
@@ -406,6 +431,7 @@ class CrawlEngine:
             ),
             superstep=0,
         )
+        extract_fut.result()
         self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
         fetched.unpersist()
         ok_payload.unpersist()
@@ -459,12 +485,16 @@ class CrawlEngine:
             .join(pages.select("url", "body", "out_links"), "url")
             .persist()
         )
+        popped_payload.count()  # materialize ONCE before both threads read it
         raw = extract_entities_raw(
             popped_payload.select(
                 "seed_id", F.col("step").cast("int").alias("page_order"), "body"
             )
         )
-        self.entities_raw.append(raw, lineage={"superstep": d})
+        # overlap the regex job with expansion/drain + seen commits below
+        extract_fut = self._overlap(
+            self.entities_raw.append, raw, lineage={"superstep": d}
+        )
 
         if d < self.link_depth:
             # expand: enqueue order = (parent pop order, DOM order);
@@ -495,6 +525,7 @@ class CrawlEngine:
                 ),
                 lineage={"superstep": d, "stage": "drain"},
             )
+        extract_fut.result()
         self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
         popped_payload.unpersist()
         sched.unpersist()

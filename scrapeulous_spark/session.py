@@ -79,6 +79,12 @@ def get_spark(
         # walls at both levels. Same flag on executors for cluster mode.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # FAIR across pools so the crawl loop can overlap its CPU-dense
+        # extraction job with the latency-bound small commits (frontier
+        # write, seen MERGE) from a second driver thread — the small
+        # jobs' tasks slip into slots the big job would otherwise hold
+        # via FIFO head-of-line. Single-job workloads are unaffected.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         # 16m, not the 128m default: the page-store payload scan must
         # split finer than "file size / 128m" or a single ~250MB parquet

@@ -332,7 +332,13 @@ def generate(p: CorpusParams, out_dir: str) -> dict[str, str]:
     """Generate all five tables under out_dir (idempotent via tag marker).
     Returns {table_name: parquet_path}."""
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done_{p.tag}")
+    # marker generation bumped to v2 when row_group_size was added: a
+    # pyarrow-default single row group (1M rows) makes a 234MB
+    # pages.parquet UNSPLITTABLE — Spark's maxPartitionBytes yields N
+    # splits but every row lives in the split holding the single
+    # group's midpoint, so one task scans the whole file serially.
+    # Small groups (~10MB) are what a real 100TB ingest would write.
+    marker = os.path.join(out_dir, f".done2_{p.tag}")
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
         for name in ("images", "pages", "seeds", "robots", "budgets")
@@ -341,9 +347,9 @@ def generate(p: CorpusParams, out_dir: str) -> dict[str, str]:
         return paths
     images = gen_images(p)
     pages = gen_pages(p)
-    pq.write_table(images, paths["images"])
-    pq.write_table(pages, paths["pages"])
-    pq.write_table(gen_seeds(p, pages), paths["seeds"])
+    pq.write_table(images, paths["images"], row_group_size=4096)
+    pq.write_table(pages, paths["pages"], row_group_size=16384)
+    pq.write_table(gen_seeds(p, pages), paths["seeds"], row_group_size=65536)
     pq.write_table(gen_robots(p), paths["robots"])
     pq.write_table(gen_budgets(p), paths["budgets"])
     with open(marker, "w") as f:

@@ -120,3 +120,45 @@ def test_oracle_lifo_order(corpus_paths):
         )
         visited = [u for s2, st, u, d in res.crawl_order if s2 == sid and d == 1]
         assert visited == list(reversed(cleaned))[: len(visited)]
+
+
+def test_guarded_spark_extraction_matches_python_twin(spark):
+    """extract_entities_raw (with its literal-contains guards) must agree
+    with the unguarded Python twin on adversarial bodies: guards prune
+    scans, never matches."""
+    from pyspark.sql import functions as F
+
+    from scrapeulous_spark.functions.entities import KIND_ORDER, extract_py
+    from scrapeulous_spark.operators.extract import extract_entities_raw
+
+    bodies = [
+        # literal present but no match (guard passes, regex rejects)
+        "mail@ @corp twitter.com-less text + plus fb.com",
+        # exclusions right after the literal
+        "https://twitter.com/intent/x https://instagram.com/p/A "
+        "https://facebook.com/share.php?u=1",
+        # matches
+        "a.b@x-y.com +49 30 12 345 678 90 (555) 123-4567 "
+        "https://twitter.com/u1 https://www.instagram.com/i1 "
+        "https://facebook.com/pg/ http://fb.com/z https://github.com/g-1",
+        # no literals at all (guard prunes every family but generic phone)
+        "lorem ipsum 5551234567 dolor 123 456 7890",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, 0, b) for i, b in enumerate(bodies)],
+        "seed_id long, page_order int, body string",
+    )
+    got = [
+        (r["seed_id"], r["kind"], r["match_pos"], r["value"])
+        for r in extract_entities_raw(df)
+        .orderBy("seed_id", "kind", "match_pos")
+        .collect()
+    ]
+    want = [
+        (i, kind, pos, v)
+        for i, b in enumerate(bodies)
+        for kind in sorted(KIND_ORDER)
+        for pos, v in enumerate(extract_py(kind, b))
+    ]
+    assert got == sorted(want)

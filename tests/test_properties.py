@@ -174,3 +174,60 @@ def test_cuckoo_serialization_roundtrip(urls):
     assert np.array_equal(f.table, g.table)
     for u in urls:
         assert g.contains(u) == f.contains(u)
+
+
+# ---------------------------------------------------- entity guard literals
+
+
+@st.composite
+def entity_bodies(draw):
+    """Bodies stitched from match fragments, near-misses, and noise —
+    biased so the regex families actually fire sometimes."""
+    frags = st.sampled_from(
+        [
+            "a.b@x-y.com",
+            '"quoted"@dom.io',
+            "+49 30 12 345 678 90",
+            "+(49) 3012345678 90",
+            "(555) 123-4567",
+            "5551234567",
+            "https://twitter.com/user_1",
+            "http://sub.twitter.com/u/",
+            "https://twitter.com/intent/tweet",
+            "https://www.instagram.com/insta1",
+            "https://instagram.com/p/ABC",
+            "https://facebook.com/page.1/",
+            "http://fb.com/x",
+            "https://facebook.com/share.php?u=1",
+            "https://github.com/dev-1/",
+            # near-misses: literal absent or exclusion hits
+            "twitter github instagram.example facebook-page",
+            "mail@ @corp 49-30 (555 intent share.php",
+            "user at example dot com",
+        ]
+    )
+    sep = st.sampled_from([" ", "  ", " lorem ", "\n", " x9 "])
+    parts = draw(st.lists(st.one_of(frags, sep), min_size=0, max_size=12))
+    return "".join(parts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(entity_bodies())
+def test_guard_literals_sound(body):
+    """REQUIRED_LITERALS is a sound prefilter: a body containing none of
+    a pattern-pass's literals has ZERO matches for that pass, and every
+    match string itself contains one of the literals (the mandatory-
+    literal-atom argument extract.py's pruning rests on)."""
+    import re
+
+    from scrapeulous_spark.functions.entities import FAMILIES, REQUIRED_LITERALS
+
+    for kind, pats in FAMILIES.items():
+        for pat, lits in zip(pats, REQUIRED_LITERALS[kind]):
+            if lits is None:
+                continue
+            matches = [m.group(0) for m in re.finditer(pat, body)]
+            if not any(l in body for l in lits):
+                assert matches == [], (kind, pat, matches)
+            for m in matches:
+                assert any(l in m for l in lits), (kind, m)
