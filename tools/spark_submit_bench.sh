@@ -17,6 +17,9 @@ run () {
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \
+    --conf spark.scheduler.mode=FAIR \
+    --conf spark.sql.files.maxPartitionBytes=16m \
+    --conf spark.sql.autoBroadcastJoinThreshold=64m \
     --py-files dist/scrapeulous_spark.zip \
     tools/submit_crawl.py --scale bench 2>/dev/null | tail -1
 }
