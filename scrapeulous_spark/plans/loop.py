@@ -483,9 +483,15 @@ class CrawlEngine:
             popped.filter("fetch_ok")
             .select("seed_id", "url", "step", "pop_rank")
             .join(pages.select("url", "body", "out_links"), "url")
-            .persist()
         )
-        popped_payload.count()  # materialize ONCE before both threads read it
+        if d < self.link_depth:
+            # only the expansion branch below shares this DF with the
+            # extraction thread — materialize ONCE before both read it.
+            # At terminal depth nothing else touches it: persisting and
+            # counting there would serialize a full pass over the body
+            # join before the extraction fork, for no reuse at all.
+            popped_payload = popped_payload.persist()
+            popped_payload.count()
         raw = extract_entities_raw(
             popped_payload.select(
                 "seed_id", F.col("step").cast("int").alias("page_order"), "body"
