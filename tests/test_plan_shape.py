@@ -104,3 +104,23 @@ def test_frontier_bucket_read_partition_pruned(spark, tmp_path, corpus):
     assert "PartitionFilters" in plan
     pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "host_bucket" in pf_line
+
+
+def test_extraction_plan_jvm_side_with_guards(spark):
+    """The entity-extraction plan must stay whole-stage-codegen JVM work:
+    no Python eval nodes (ArrowEvalPython/BatchEvalPython), and the
+    literal-contains guards must appear as CASE WHEN ... Contains
+    branches in front of the regexes (the measured ~1.8x scan pruning —
+    BENCH.md 'Extraction-stage fixes')."""
+    from scrapeulous_spark.operators.extract import extract_entities_raw
+
+    df = spark.createDataFrame(
+        [(1, 0, "x")], "seed_id long, page_order int, body string"
+    )
+    plan = _plan(extract_entities_raw(df))
+    assert "EvalPython" not in plan  # no Python in the hot path
+    # guards compile to conditional regexp evaluation (the AQE-unfinalized
+    # formatted plan omits WholeStageCodegen spans, so assert on the
+    # expression tree instead)
+    assert "CASE WHEN" in plan and "Contains" in plan
+    assert "regexp_extract_all" in plan
