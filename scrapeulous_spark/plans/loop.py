@@ -537,12 +537,17 @@ class CrawlEngine:
         sched.unpersist()
 
     def _finalize(self):
-        # per-kind first-occurrence dedup across all fetched pages
+        # per-kind first-occurrence dedup across all fetched pages,
+        # overlapped with the independent payload-validation stage
+        # (disjoint inputs: entities_raw table vs image corpus; disjoint
+        # sinks: entities vs payload_report)
         final = dedup_entities(self.entities_raw.read(self.spark))
-        self.entities.append(final, lineage={"stage": "finalize"})
-
+        entities_fut = self._overlap(
+            self.entities.append, final, lineage={"stage": "finalize"}
+        )
         if self.validate_images:
             self._validate_payloads()
+        entities_fut.result()
 
     def _validate_payloads(self):
         """Payload invariants for every image embedded in a successfully
