@@ -43,6 +43,19 @@ FAMILIES: dict[str, list[str]] = {
     "github": [GITHUB],
 }
 
+# Possessive twin of EMAIL for the Spark scan (java.util.regex and
+# Python >=3.11 both support '++'/'*+'). Result-identical to EMAIL on
+# every input: the local-part classes exclude both '.' and '@', so when
+# the greedy attempt fails at the '@' check, giving characters back can
+# only re-try '@' against a char from the class or a '.' — never '@'.
+# The domain half keeps ordinary greedy quantifiers (its outer group
+# genuinely needs giveback, e.g. 'a.bc' must split as 'a.' + 'bc').
+# Equivalence is property-tested (test_email_possessive_twin_equiv).
+EMAIL_POSSESSIVE = (
+    r'(([^<>()\[\]\\.,;:\s@"]++(\.[^<>()\[\]\\.,;:\s@"]++)*+)|(".+"))'
+    r"@((\[[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}])|(([a-zA-Z\-0-9]+\.)+[a-zA-Z]{2,}))"
+)
+
 # kind -> per-pattern-pass literal prefilters: every possible match of
 # the pattern contains at least ONE of the listed literals (they are
 # mandatory literal atoms of the regex), so `any(lit in body)` false

@@ -14,7 +14,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.entities import FAMILIES, KIND_ORDER, REQUIRED_LITERALS
+from ..functions.entities import (
+    EMAIL_POSSESSIVE,
+    FAMILIES,
+    KIND_ORDER,
+    REQUIRED_LITERALS,
+)
+
+
+def _email_scan():
+    """Email-family fast scan — row-identical to
+    regexp_extract_all(body, EMAIL) by two equivalence facts:
+
+    1. EMAIL_POSSESSIVE == EMAIL on every input (see entities.py).
+    2. Outside the '"..."' alternation branch, no atom of the pattern
+       can consume a \\s character (local-part classes exclude \\s, '@'
+       is not \\s, domain atoms are alnum/-/./digit brackets) — under
+       the SAME Java \\s semantics the tokenizer below uses. So on
+       quote-free bodies every match lies inside one whitespace token,
+       in (token order, in-token order) == document order, and only
+       tokens containing the mandatory '@' can match at all. Bodies
+       containing '"' fall back to the full-body scan.
+
+    The email regex was 76% of the post-guard extraction stage (the
+    corpus places '@' near-misses in every body, so the literal guard
+    alone never prunes it); the token scan cuts it ~6.6x by scanning
+    ~10% of the bytes. Both equivalences are property-tested
+    (test_email_possessive_twin_equiv, test_email_token_scan_equiv)
+    and the whole plan is parity-tested against the unguarded Python
+    twin."""
+    body = F.col("body")
+    poss = F.lit(EMAIL_POSSESSIVE)
+    tokenized = F.flatten(
+        F.transform(
+            F.filter(F.split(body, r"\s+"), lambda t: t.contains("@")),
+            lambda t: F.regexp_extract_all(t, poss, F.lit(0)),
+        )
+    )
+    return F.when(
+        body.contains('"'), F.regexp_extract_all(body, poss, F.lit(0))
+    ).otherwise(tokenized)
 
 
 def extract_entities_raw(pages: DataFrame) -> DataFrame:
@@ -35,8 +74,12 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
     sc = pages.sparkSession.sparkContext
     pages = pages.repartition(sc.defaultParallelism * 4)
 
-    def one_pass(pattern: str, literals: list[str] | None):
-        rx = F.regexp_extract_all(F.col("body"), F.lit(pattern), F.lit(0))
+    def one_pass(pattern: str, literals: list[str] | None, kind: str = ""):
+        rx = (
+            _email_scan()
+            if kind == "email"
+            else F.regexp_extract_all(F.col("body"), F.lit(pattern), F.lit(0))
+        )
         if literals is None:
             return rx
         # literal-contains prefilter: each pattern has mandatory literal
@@ -53,7 +96,7 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
         # concat preserves "pattern-pass order within a page"
         # (phones: two regex passes appended, social.js:213-221)
         passes = [
-            one_pass(p, lits)
+            one_pass(p, lits, kind)
             for p, lits in zip(FAMILIES[kind], REQUIRED_LITERALS[kind])
         ]
         arr = F.concat(*passes) if len(passes) > 1 else passes[0]

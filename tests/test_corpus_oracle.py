@@ -144,6 +144,10 @@ def test_guarded_spark_extraction_matches_python_twin(spark):
         # no literals at all (guard prunes every family but generic phone)
         "lorem ipsum 5551234567 dolor 123 456 7890",
         "",
+        # quote branch: the '".+"' alternation CAN span spaces, so these
+        # must take the full-body email scan, not the token fast path
+        '"a b"@x.com and more',
+        'stray " quote then c.d@y.org',
     ]
     df = spark.createDataFrame(
         [(i, 0, b) for i, b in enumerate(bodies)],

@@ -187,6 +187,8 @@ def entity_bodies(draw):
         [
             "a.b@x-y.com",
             '"quoted"@dom.io',
+            '"a b"@x.com',
+            '" lone quote',
             "+49 30 12 345 678 90",
             "+(49) 3012345678 90",
             "(555) 123-4567",
@@ -231,3 +233,43 @@ def test_guard_literals_sound(body):
                 assert matches == [], (kind, pat, matches)
             for m in matches:
                 assert any(l in m for l in lits), (kind, m)
+
+
+@settings(max_examples=200, deadline=None)
+@given(entity_bodies())
+def test_email_possessive_twin_equiv(body):
+    """EMAIL_POSSESSIVE must produce the exact EMAIL match sequence
+    (the possessive local part can never lose a match: its classes
+    exclude '.' and '@', so giveback re-tries '@' against chars that
+    are never '@')."""
+    import re
+
+    from scrapeulous_spark.functions.entities import EMAIL, EMAIL_POSSESSIVE
+
+    a = [m.group(0) for m in re.finditer(EMAIL, body)]
+    b = [m.group(0) for m in re.finditer(EMAIL_POSSESSIVE, body)]
+    assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(entity_bodies())
+def test_email_token_scan_equiv(body):
+    """On quote-free bodies, scanning '@'-containing whitespace tokens
+    reproduces the full-body EMAIL scan exactly (no pattern atom outside
+    the '\"...\"' branch can consume whitespace, so matches never span
+    tokens). This is the equivalence extract.py::_email_scan's fast
+    path rests on."""
+    import re
+
+    from scrapeulous_spark.functions.entities import EMAIL
+
+    if '"' in body:
+        return
+    full = [m.group(0) for m in re.finditer(EMAIL, body)]
+    tokenized = [
+        m.group(0)
+        for t in re.split(r"\s+", body)
+        if "@" in t
+        for m in re.finditer(EMAIL, t)
+    ]
+    assert full == tokenized
