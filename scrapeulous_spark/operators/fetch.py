@@ -46,6 +46,23 @@ def fetch_join(urls: DataFrame, pages: DataFrame, columns: tuple = PAGE_COLS) ->
     )
 
 
+PAYLOAD_COLS = ("url", "body", "out_links")
+
+
+def payload_join(keys: DataFrame, pages: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Equi-join a small scheduled-key set against the payload columns
+    of the page store. The payload side (body, out_links) is ~95% of
+    the page-store bytes: a shuffle join would write and re-read all of
+    it through an exchange. Broadcasting the key side instead streams
+    the body scan straight into the join — the payload never shuffles
+    here. Pass broadcast=False when one superstep's scheduled batch
+    could exceed broadcast limits (~10M+ keys at a 10^10 frontier) and
+    let AQE plan the shuffle join."""
+    if broadcast:
+        keys = F.broadcast(keys)
+    return keys.join(pages.select(*PAYLOAD_COLS), "url")
+
+
 PAYLOAD_REPORT_SCHEMA = (
     "image_id string, fmt string, decode_ok boolean, psnr_db double, "
     "phash_recomputed bigint, phash_match boolean, pixels_allclose boolean"

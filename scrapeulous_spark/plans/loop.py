@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..functions import urls as U
 from ..operators.extract import dedup_entities, extract_entities_raw, seed_page_titles
-from ..operators.fetch import fetch_join, validate_payloads
+from ..operators.fetch import fetch_join, payload_join, validate_payloads
 from ..operators.frontier import expand_candidates, schedule_pops
 from ..sources.tables import Warehouse
 
@@ -135,6 +135,7 @@ class CrawlEngine:
         frontier_buckets: int = 32,
         salt_hot_hosts: bool = True,
         cuckoo_shards: int = 64,
+        broadcast_sched_keys: bool = True,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root)
@@ -146,6 +147,13 @@ class CrawlEngine:
         self.salt_hot_hosts = salt_hot_hosts
         self.bloom_params = {"n_buckets": bloom_buckets, "n_bits": bloom_bits, "k": bloom_k}
         self.cuckoo_shards = cuckoo_shards
+        # broadcast the scheduled-keys side of the payload joins so the
+        # body column streams from the scan with no exchange. Right
+        # whenever one superstep's scheduled batch fits a broadcast
+        # (~10M keys); beyond that turn it off and AQE plans the
+        # shuffle join — the flag exists because at a true 10^10
+        # frontier a single round CAN exceed broadcast limits.
+        self.broadcast_sched_keys = broadcast_sched_keys
         self.bloom = self.wh.table("bloom", BLOOM)
         self.deleted = self.wh.table("deleted", DELETED)
         self.cuckoo = self.wh.table("cuckoo", CUCKOO)
@@ -385,9 +393,11 @@ class CrawlEngine:
         )
         ok = fetched.filter("fetch_ok")
         # payload join happens ONCE, for extraction only: ok rows pick up
-        # body/out_links by url equi-join against the pruned payload scan
-        ok_payload = ok.select("seed_id", "url").join(
-            pages.select("url", "body", "out_links"), "url"
+        # body/out_links by url equi-join against the pruned payload
+        # scan; broadcast the small (seed_id, url) key side so the body
+        # column never crosses an exchange (see fetch.payload_join)
+        ok_payload = payload_join(
+            ok.select("seed_id", "url"), pages, broadcast=self.broadcast_sched_keys
         ).persist()
         ok_payload.count()  # materialize ONCE before both threads read it
 
@@ -478,11 +488,13 @@ class CrawlEngine:
             ),
             lineage={"superstep": d},
         )
-        # payload join once for the scheduled+ok rows only
-        popped_payload = (
-            popped.filter("fetch_ok")
-            .select("seed_id", "url", "step", "pop_rank")
-            .join(pages.select("url", "body", "out_links"), "url")
+        # payload join once for the scheduled+ok rows only — broadcast
+        # the scheduled keys for the same reason as the seeds superstep:
+        # never shuffle the body column (see fetch.payload_join)
+        popped_payload = payload_join(
+            popped.filter("fetch_ok").select("seed_id", "url", "step", "pop_rank"),
+            pages,
+            broadcast=self.broadcast_sched_keys,
         )
         if d < self.link_depth:
             # only the expansion branch below shares this DF with the

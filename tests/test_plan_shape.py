@@ -16,7 +16,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from scrapeulous_spark.operators.fetch import fetch_join
+from scrapeulous_spark.operators.fetch import fetch_join, payload_join
 from scrapeulous_spark.operators.frontier import expand_candidates, schedule_pops
 from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
 
@@ -104,6 +104,21 @@ def test_frontier_bucket_read_partition_pruned(spark, tmp_path, corpus):
     assert "PartitionFilters" in plan
     pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "host_bucket" in pf_line
+
+
+def test_payload_join_broadcasts_key_side(corpus):
+    """The payload join must broadcast the scheduled-key side: the body
+    column (~95% of page-store bytes) may never cross an exchange on
+    its way into extraction. BroadcastHashJoin with the keys as the
+    build side == the body scan streams straight into the join."""
+    keys = corpus["seeds"].select("seed_id", "url")
+    joined = payload_join(keys, corpus["pages"])
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no shuffle exchange anywhere: keys go over a broadcast exchange,
+    # the payload scan feeds the join directly
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_extraction_plan_jvm_side_with_guards(spark):
