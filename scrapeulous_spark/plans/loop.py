@@ -172,14 +172,17 @@ class CrawlEngine:
         # DataFrames and commit to DISJOINT tables; FAIR pools
         # (session.py) let the small jobs' tasks fill slots the big
         # job's stragglers leave idle. Checkpoints happen after join().
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        # two workers: at the terminal superstep the extraction job and
+        # the early-forked payload validation run concurrently
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self._validate_fut = None
 
-    def _overlap(self, fn, *args, **kwargs):
-        """Run fn on the background thread in the 'extract' FAIR pool."""
+    def _overlap(self, fn, *args, pool: str = "extract", **kwargs):
+        """Run fn on a background thread in its own FAIR pool."""
 
         def task():
             self.spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", "extract"
+                "spark.scheduler.pool", pool
             )
             return fn(*args, **kwargs)
 
@@ -488,6 +491,17 @@ class CrawlEngine:
             ),
             lineage={"superstep": d},
         )
+        if d == self.link_depth and self.validate_images:
+            # crawl_order is COMPLETE as of the append above (no deeper
+            # superstep fetches), which is payload validation's only
+            # dependency on crawl state — fork it now so the Arrow
+            # decode stage hides under this superstep's extraction job
+            # instead of serializing after it in _finalize. Commit
+            # safety: payload_report is this future's only sink; the
+            # superstep checkpoint either records its commit (finalize
+            # rerun overwrites idempotently) or predates it (resume
+            # rolls the partial commit back and finalize reruns it).
+            self._validate_fut = self._overlap(self._validate_payloads, pool="validate")
         # payload join once for the scheduled+ok rows only — broadcast
         # the scheduled keys for the same reason as the seeds superstep:
         # never shuffle the body column (see fetch.payload_join)
@@ -558,7 +572,14 @@ class CrawlEngine:
             self.entities.append, final, lineage={"stage": "finalize"}
         )
         if self.validate_images:
-            self._validate_payloads()
+            if self._validate_fut is not None:
+                # forked at the terminal superstep — just drain it
+                self._validate_fut.result()
+                self._validate_fut = None
+            else:
+                # resume past the terminal superstep, or early frontier
+                # exhaustion skipped it: run inline
+                self._validate_payloads()
         entities_fut.result()
 
     def _validate_payloads(self):
