@@ -360,6 +360,10 @@ class CrawlEngine:
     # --------------------------------------------------------- supersteps
 
     def _superstep_seeds(self):
+        """Seed fetch superstep. Returns a finish() closure that drains
+        the extraction future, records metrics, and releases caches —
+        run() calls it only after overlapping the next depth's
+        scheduling compute under the extraction drain."""
         t0 = time.time()
         seeds = self._read("seeds")
         pages = self._read("pages")
@@ -367,15 +371,6 @@ class CrawlEngine:
 
         is_valid = F.col("url").startswith("http://") | F.col("url").startswith("https://")
         invalid = seeds.filter(~is_valid)
-        self.entities.append(
-            invalid.select(
-                "seed_id",
-                F.lit("invalid_url").alias("kind"),
-                F.lit(0).alias("ord"),
-                F.col("url").alias("value"),
-            ),
-            lineage={"superstep": 0, "stage": "invalid_seeds"},
-        )
 
         # metadata-only fetch: scheduling/bookkeeping never touches the
         # payload columns (body/out_links are ~95% of page-store bytes);
@@ -413,6 +408,17 @@ class CrawlEngine:
         extract_fut = self._overlap(
             self.entities_raw.append, raw, lineage={"superstep": 0}
         )
+        # small entity commits come AFTER the fork — nothing before the
+        # extraction job's submission but its own inputs
+        self.entities.append(
+            invalid.select(
+                "seed_id",
+                F.lit("invalid_url").alias("kind"),
+                F.lit(0).alias("ord"),
+                F.col("url").alias("value"),
+            ),
+            lineage={"superstep": 0, "stage": "invalid_seeds"},
+        )
         self.entities.append(
             seed_page_titles(ok.select("seed_id", "title")), lineage={"superstep": 0}
         )
@@ -444,19 +450,25 @@ class CrawlEngine:
             ),
             superstep=0,
         )
-        extract_fut.result()
-        self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
-        fetched.unpersist()
-        ok_payload.unpersist()
+        def finish():
+            extract_fut.result()
+            self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
+            fetched.unpersist()
+            ok_payload.unpersist()
 
-    def _superstep_depth(self, d: int):
-        """Pop-and-fetch the depth-d frontier; expand into depth d+1 when
-        d < link_depth (multi-depth engine extension; at d == 1 with
-        link_depth == 1 this is exactly the reference semantics)."""
-        t0 = time.time()
+        return finish
+
+    def _sched_for_depth(self, d: int) -> DataFrame:
+        """Build and MATERIALIZE the depth-d scheduling window (persisted).
+        Pure reads of already-committed tables (frontier, crawl_order,
+        page/budget stores) — no writes — so run() can compute it on the
+        main thread while the previous superstep's extraction future
+        drains, taking the scheduling shuffle off the critical path.
+        Results are identical to computing it inside the superstep: no
+        table the scheduler reads commits between the previous
+        superstep's last append and this one's first."""
         pages = self._read("pages")
         budgets = self._read("budgets")
-        robots = self._read("robots")
         frontier = self.frontier.read(self.spark).filter(F.col("depth") == d)
         order_so_far = self.crawl_order.read(self.spark)
 
@@ -480,6 +492,19 @@ class CrawlEngine:
             )
             .persist()
         )
+        sched.count()
+        return sched
+
+    def _superstep_depth(self, d: int, sched: DataFrame | None = None):
+        """Pop-and-fetch the depth-d frontier; expand into depth d+1 when
+        d < link_depth (multi-depth engine extension; at d == 1 with
+        link_depth == 1 this is exactly the reference semantics).
+        Returns a finish() closure like _superstep_seeds."""
+        t0 = time.time()
+        pages = self._read("pages")
+        robots = self._read("robots")
+        if sched is None:
+            sched = self._sched_for_depth(d)
         popped = sched.filter("scheduled")
         self.crawl_order.append(
             popped.select(
@@ -538,7 +563,11 @@ class CrawlEngine:
                 self.seen_pairs.read(self.spark), ["seed_id", "url"], "left_anti"
             )
             nxt = cands.withColumn("depth", F.lit(d + 1)).persist()
-            hot = self._hot_hosts(frontier.select("host"))
+            # skew signal = the depth-d frontier's host histogram; sched
+            # carries exactly one row per frontier row and is already
+            # persisted, so read it from cache instead of re-scanning
+            # the frontier table
+            hot = self._hot_hosts(sched.select("host"))
             self._write_frontier(
                 nxt, lineage={"superstep": d, "stage": "expand"}, hot=hot
             )
@@ -557,10 +586,13 @@ class CrawlEngine:
                 ),
                 lineage={"superstep": d, "stage": "drain"},
             )
-        extract_fut.result()
-        self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
-        popped_payload.unpersist()
-        sched.unpersist()
+        def finish():
+            extract_fut.result()
+            self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
+            popped_payload.unpersist()
+            sched.unpersist()
+
+        return finish
 
     def _finalize(self):
         # per-kind first-occurrence dedup across all fetched pages,
@@ -672,21 +704,46 @@ class CrawlEngine:
         state = (self.wh.load_state() if resume else None) or {"superstep": 0, "snapshots": {}}
         for name, t in self._all_tables().items():
             t.rollback(state["snapshots"].get(name, 0))
+        # (finish_closure, checkpoint_id) of the superstep whose
+        # extraction future is still draining — the next superstep's
+        # scheduling window materializes on the main thread UNDER that
+        # drain (pure reads, no commits), then the closure is drained
+        # and the checkpoint barrier taken before any new commit.
+        pending: tuple | None = None
+
+        def drain():
+            nonlocal pending
+            if pending is not None:
+                fin, ck = pending
+                fin()
+                self._checkpoint(ck)
+                pending = None
+
         if state["superstep"] <= 0:
-            self._superstep_seeds()
-            self._checkpoint(1)
+            pending = (self._superstep_seeds(), 1)
         for d in range(1, self.link_depth + 1):
             if state["superstep"] <= d:
-                if d > 1 and self.frontier.read(self.spark).filter(
-                    F.col("depth") == d
-                ).isEmpty():
-                    self._checkpoint(d + 1)
-                    continue
-                self._superstep_depth(d)
-                self._checkpoint(d + 1)
+                sched = self._sched_for_depth(d) if pending is not None else None
+                drain()
+                if d > 1:
+                    empty = (
+                        sched.isEmpty()
+                        if sched is not None
+                        else self.frontier.read(self.spark)
+                        .filter(F.col("depth") == d)
+                        .isEmpty()
+                    )
+                    if empty:
+                        if sched is not None:
+                            sched.unpersist()
+                        self._checkpoint(d + 1)
+                        continue
+                pending = (self._superstep_depth(d, sched=sched), d + 1)
         if state["superstep"] <= self.link_depth + 1:
+            drain()
             self._finalize()
             self._checkpoint(self.link_depth + 2)
+        drain()
 
     # ------------------------------------------------------------ outputs
 

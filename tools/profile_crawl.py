@@ -55,7 +55,12 @@ def install():
         "_hot_hosts",
     ):
         _wrap_method(CrawlEngine, m)
-    _wrap_method(CrawlEngine, "_superstep_depth", lambda self, d: f"_superstep_depth[{d}]")
+    _wrap_method(
+        CrawlEngine, "_superstep_depth", lambda self, d, **kw: f"_superstep_depth[{d}]"
+    )
+    _wrap_method(
+        CrawlEngine, "_sched_for_depth", lambda self, d, **kw: f"_sched_for_depth[{d}]"
+    )
     for m in ("append", "overwrite"):
         _wrap_method(
             tables.SnapshotTable, m, lambda self, *a, _m=m, **kw: f"table.{_m}:{self.name}"
