@@ -42,11 +42,18 @@ def detect_hot_hosts(
     """Hosts whose row count exceeds skew_factor * (total / n_buckets).
     The groupBy is map-side combinable (O(hosts) rows shuffle); the
     collect returns < n_buckets / skew_factor rows by the threshold's
-    own arithmetic."""
+    own arithmetic. ONE action: the threshold is a broadcast scalar
+    subplan over the same cached counts, not a separate collect —
+    driver round trips are constant per-leg latency that the N-vs-4N
+    ratio pays at full price."""
     counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n")).persist()
-    total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
-    threshold = skew_factor * total / n_buckets
-    hot = [r["host"] for r in counts.filter(F.col("n") > threshold).collect()]
+    thr = counts.agg(
+        (F.lit(skew_factor) * F.sum("n") / F.lit(n_buckets)).alias("thr")
+    )
+    hot = [
+        r["host"]
+        for r in counts.join(F.broadcast(thr)).filter(F.col("n") > F.col("thr")).collect()
+    ]
     counts.unpersist()
     return sorted(hot)
 

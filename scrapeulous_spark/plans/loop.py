@@ -172,9 +172,10 @@ class CrawlEngine:
         # DataFrames and commit to DISJOINT tables; FAIR pools
         # (session.py) let the small jobs' tasks fill slots the big
         # job's stragglers leave idle. Checkpoints happen after join().
-        # two workers: at the terminal superstep the extraction job and
-        # the early-forked payload validation run concurrently
-        self._pool = ThreadPoolExecutor(max_workers=2)
+        # three workers: at the terminal superstep the extraction job,
+        # the early-forked payload validation, and the frontier drain
+        # commit can all be in flight at once
+        self._pool = ThreadPoolExecutor(max_workers=3)
         self._validate_fut = None
 
     def _overlap(self, fn, *args, pool: str = "extract", **kwargs):
@@ -409,30 +410,50 @@ class CrawlEngine:
             self.entities_raw.append, raw, lineage={"superstep": 0}
         )
         # small entity commits come AFTER the fork — nothing before the
-        # extraction job's submission but its own inputs
+        # extraction job's submission but its own inputs. One commit:
+        # invalid-url markers and page titles go to the same table.
         self.entities.append(
             invalid.select(
                 "seed_id",
                 F.lit("invalid_url").alias("kind"),
                 F.lit(0).alias("ord"),
                 F.col("url").alias("value"),
-            ),
-            lineage={"superstep": 0, "stage": "invalid_seeds"},
-        )
-        self.entities.append(
-            seed_page_titles(ok.select("seed_id", "title")), lineage={"superstep": 0}
+            ).unionByName(seed_page_titles(ok.select("seed_id", "title"))),
+            lineage={"superstep": 0, "stage": "seed_entities"},
         )
 
         # frontier expansion (depth-1 gate: only when link_depth > 0,
         # social.js:67-76 — from the seed page, NO seen anti-join: the
         # reference dedups only within the candidate list, the seed url
         # itself may re-enter the frontier)
+        frontier_fut = None
+        cands = None
         if self.link_depth > 0:
-            cands = expand_candidates(
-                ok_payload.select("seed_id", "url", "out_links"), robots
-            ).withColumn("depth", F.lit(1))
+            cands = (
+                expand_candidates(ok_payload.select("seed_id", "url", "out_links"), robots)
+                .withColumn("depth", F.lit(1))
+                .persist()
+            )
+            cands.count()  # materialize ONCE: the commit thread and the
+            # seen/seen_pairs unions below all read this cache
             hot = self._hot_hosts(ok.select(U.host_col(F.col("url")).alias("host")))
-            self._write_frontier(cands, lineage={"superstep": 0}, hot=hot)
+            # the frontier commit runs on its own pool: nothing below
+            # reads the TABLE (the seen/seen_pairs unions take the same
+            # rows from the in-memory cands plan, which is what the
+            # write materializes) — only the next depth's scheduling
+            # precompute does, and run() joins this future first
+            frontier_fut = self._overlap(
+                self._write_frontier,
+                cands,
+                lineage={"superstep": 0},
+                hot=hot,
+                pool="commit",
+            )
+        cand_urls = (
+            cands.select("url")
+            if self.link_depth > 0
+            else self.spark.createDataFrame([], "url string")
+        )
         # per-seed visited set = normalized seed url ∪ enqueued candidates.
         # Only the multi-depth extension ever anti-joins against it
         # (expansion at depth d reads it only when d < link_depth), so at
@@ -440,23 +461,28 @@ class CrawlEngine:
         if self.link_depth > 1:
             self.seen_pairs.append(
                 fetched.select("seed_id", U.normalize_col(F.col("url")).alias("url"))
-                .unionByName(self.frontier.read(self.spark).select("seed_id", "url"))
+                .unionByName(cands.select("seed_id", "url"))
                 .distinct(),
                 lineage={"superstep": 0},
             )
         self._update_seen(
             fetched.select(U.normalize_col(F.col("url")).alias("url")).unionByName(
-                self.frontier.read(self.spark).select("url")
+                cand_urls
             ),
             superstep=0,
         )
+
         def finish():
             extract_fut.result()
+            if frontier_fut is not None:
+                frontier_fut.result()
             self._record_metrics(0, "seed_fetch", fetched, (time.time() - t0) * 1e3)
+            if cands is not None:
+                cands.unpersist()
             fetched.unpersist()
             ok_payload.unpersist()
 
-        return finish
+        return finish, frontier_fut
 
     def _sched_for_depth(self, d: int) -> DataFrame:
         """Build and MATERIALIZE the depth-d scheduling window (persisted).
@@ -563,36 +589,50 @@ class CrawlEngine:
                 self.seen_pairs.read(self.spark), ["seed_id", "url"], "left_anti"
             )
             nxt = cands.withColumn("depth", F.lit(d + 1)).persist()
+            nxt.count()  # materialize ONCE: the commit thread and the
+            # seen/seen_pairs unions below all read this cache
             # skew signal = the depth-d frontier's host histogram; sched
             # carries exactly one row per frontier row and is already
             # persisted, so read it from cache instead of re-scanning
             # the frontier table
             hot = self._hot_hosts(sched.select("host"))
-            self._write_frontier(
-                nxt, lineage={"superstep": d, "stage": "expand"}, hot=hot
+            frontier_fut = self._overlap(
+                self._write_frontier,
+                nxt,
+                lineage={"superstep": d, "stage": "expand"},
+                hot=hot,
+                pool="commit",
             )
             self.seen_pairs.append(nxt.select("seed_id", "url"), lineage={"superstep": d})
             self._update_seen(nxt.select("url"), superstep=d)
-            nxt.unpersist()
         else:
             # terminal depth: budget-exhausted leftovers are drained.
             # Rows came off the partitioned frontier and keep their
             # host_bucket stamp; no restamp/reshuffle — single-pass write
             # with the bucket as a data column (the read path accepts
-            # both layouts).
-            self.frontier.overwrite(
+            # both layouts). Forked like the expansion write: it reads
+            # only the persisted sched, and nothing in this run reads
+            # the frontier table after the terminal drain.
+            nxt = None
+            frontier_fut = self._overlap(
+                self.frontier.overwrite,
                 sched.filter(~F.col("scheduled")).select(
                     *[f.name for f in FRONTIER.fields]
                 ),
                 lineage={"superstep": d, "stage": "drain"},
+                pool="commit",
             )
+
         def finish():
             extract_fut.result()
+            frontier_fut.result()
             self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
+            if nxt is not None:
+                nxt.unpersist()
             popped_payload.unpersist()
             sched.unpersist()
 
-        return finish
+        return finish, frontier_fut
 
     def _finalize(self):
         # per-kind first-occurrence dedup across all fetched pages,
@@ -704,26 +744,33 @@ class CrawlEngine:
         state = (self.wh.load_state() if resume else None) or {"superstep": 0, "snapshots": {}}
         for name, t in self._all_tables().items():
             t.rollback(state["snapshots"].get(name, 0))
-        # (finish_closure, checkpoint_id) of the superstep whose
-        # extraction future is still draining — the next superstep's
-        # scheduling window materializes on the main thread UNDER that
-        # drain (pure reads, no commits), then the closure is drained
-        # and the checkpoint barrier taken before any new commit.
+        # (finish_closure, checkpoint_id, frontier_future) of the
+        # superstep whose extraction future is still draining — the next
+        # superstep's scheduling window materializes on the main thread
+        # UNDER that drain (pure reads — but it reads the frontier
+        # TABLE, so the forked frontier commit is joined first), then
+        # the closure is drained and the checkpoint barrier taken
+        # before any new commit.
         pending: tuple | None = None
 
         def drain():
             nonlocal pending
             if pending is not None:
-                fin, ck = pending
+                fin, ck, _ = pending
                 fin()
                 self._checkpoint(ck)
                 pending = None
 
         if state["superstep"] <= 0:
-            pending = (self._superstep_seeds(), 1)
+            fin, ffut = self._superstep_seeds()
+            pending = (fin, 1, ffut)
         for d in range(1, self.link_depth + 1):
             if state["superstep"] <= d:
-                sched = self._sched_for_depth(d) if pending is not None else None
+                sched = None
+                if pending is not None:
+                    if pending[2] is not None:
+                        pending[2].result()  # frontier committed before the read
+                    sched = self._sched_for_depth(d)
                 drain()
                 if d > 1:
                     empty = (
@@ -738,7 +785,8 @@ class CrawlEngine:
                             sched.unpersist()
                         self._checkpoint(d + 1)
                         continue
-                pending = (self._superstep_depth(d, sched=sched), d + 1)
+                fin, ffut = self._superstep_depth(d, sched=sched)
+                pending = (fin, d + 1, ffut)
         if state["superstep"] <= self.link_depth + 1:
             drain()
             self._finalize()

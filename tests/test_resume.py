@@ -34,7 +34,8 @@ def test_resume_from_superstep_barrier(spark, paths):
 
         # interrupted run: superstep 0 completes, then the process "dies"
         eng1 = CrawlEngine(spark, wh_b, paths)
-        eng1._superstep_seeds()
+        fin, _ = eng1._superstep_seeds()
+        fin()  # drain the forked extraction/frontier commits (as run() does)
         eng1._checkpoint(1)
         # a NEW engine instance resumes from the warehouse
         eng2 = CrawlEngine(spark, wh_b, paths)
@@ -50,7 +51,8 @@ def test_resume_discards_partial_superstep(spark, paths):
         full.run()
 
         eng1 = CrawlEngine(spark, wh_b, paths)
-        eng1._superstep_seeds()
+        fin, _ = eng1._superstep_seeds()
+        fin()  # drain the forked extraction/frontier commits (as run() does)
         eng1._checkpoint(1)
         # simulate a crash midway through superstep 1: one table got an
         # extra commit, the barrier was never reached
