@@ -182,29 +182,28 @@ def dedup_lsh_pairs(spark, sf):
     groupBy + in-bucket pair expansion rather than a self-join: the
     self-join would compute the signature subtree twice (no exchange
     reuse across differently-aliased sides — measured 2x). The
-    expansion itself is skew-safe: bucket member lists are exploded to
-    one row per (member, ids) BEFORE pairing and redistributed, so a
-    hot bucket of m docs costs m rows x O(m) each across many tasks —
-    never an O(m^2) struct array in a single row (a 2.6k-doc bucket =
-    3.5M pairs was one task's in-memory array before this shape)."""
+    expansion itself is skew-safe: bucket member lists are sorted once,
+    then posexploded to one row per (member, ids) BEFORE pairing and
+    redistributed, so a hot bucket of m docs costs m rows x O(m) each
+    across many tasks — never an O(m^2) struct array in a single row
+    (a 2.3k-doc bucket = 2.8M pairs was one task's in-memory array
+    before this shape). Each member pairs with its sorted-array TAIL
+    via slice(ids, pos+2, ...) — a codegen'd builtin, not a lambda
+    filter: ArrayFilter is interpreted and de-codegens the entire
+    explode+partial-agg stage (measured 5x on this query)."""
     from .catalog import REGISTRY
 
     b = REGISTRY["dedup_lsh_buckets"].spark(spark, sf)
     grouped = (
         b.groupBy("band", "band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    members = grouped.select("ids", F.explode("ids").alias("doc_a")).repartition(
+    members = grouped.select("ids", F.posexplode("ids").alias("pos", "doc_a")).repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
-    return (
-        members.select(
-            "doc_a",
-            F.explode(F.filter(F.col("ids"), lambda x: x > F.col("doc_a"))).alias("doc_b"),
-        )
-        .distinct()
-    )
+    tail = F.slice(F.col("ids"), F.col("pos") + F.lit(2), F.size("ids"))
+    return members.select("doc_a", F.explode(tail).alias("doc_b")).distinct()
 
 
 @register(
