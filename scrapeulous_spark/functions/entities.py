@@ -58,8 +58,9 @@ EMAIL_POSSESSIVE = (
 
 # kind -> per-pattern-pass literal prefilters: every possible match of
 # the pattern contains at least ONE of the listed literals (they are
-# mandatory literal atoms of the regex), so `any(lit in body)` false
-# implies zero matches and the backtracking scan can be skipped
+# mandatory literal atoms of the regex — the '/' after '.com' is
+# mandatory in all three URL families, `\.com/`), so `any(lit in body)`
+# false implies zero matches and the backtracking scan can be skipped
 # entirely. None = no usable literal (generic phone needs only any 3
 # digits). This is a pure pruning device — results are provably
 # identical with or without it (tests/test_properties.py::
@@ -68,11 +69,27 @@ EMAIL_POSSESSIVE = (
 REQUIRED_LITERALS: dict[str, list[list[str] | None]] = {
     "email": [["@"]],
     "phone": [["+"], None],
-    "facebook": [["facebook.com", "fb.com"]],
+    "facebook": [["facebook.com/", "fb.com/"]],
     "twitter": [["twitter.com"]],
     "instagram": [["instagram.com/"]],
     "github": [["github.com/"]],
 }
+
+# Families whose every pattern atom — in EVERY alternation branch —
+# matches no whitespace character under Java semantics: literals have
+# no \s, and the char classes ([A-z0-9_\-\.], [A-Za-z0-9_.]) all live
+# above/outside [ \t\n\x0B\f\r]. A match therefore never spans a \s+
+# token boundary, so a token-restricted scan (extract.py::_token_scan)
+# would be row-identical to the full-body scan — proven by
+# tests/test_properties.py::test_url_family_token_scan_equiv. Routing
+# them through it was MEASURED SLOWER though (see extract.one_pass),
+# so only email (whose per-byte NFA cost is far higher) uses the token
+# fast path. Excluded even from the equivalence: twitter (`(.*\.)?` —
+# Java `.` matches ' '/\t, so matches DO span spaces, e.g.
+# 'https://a b.twitter.com/u'), phone_de (classes contain literal
+# ' '), phone_generic ([-\s\.]), email's `".+"` branch (quote
+# fallback in _email_scan).
+TOKEN_SCANNABLE = ("facebook", "instagram", "github")
 
 # accumulation order across kinds follows extractSocialInformation
 # (social.js:224-231): emails, phones, facebook, twitter, instagram, github

@@ -22,6 +22,21 @@ from ..functions.entities import (
 )
 
 
+def _token_scan(pattern, token_pred):
+    """Whitespace-token-restricted regex scan: split body on \\s+, run
+    the regex only on tokens satisfying token_pred. Exact iff no atom
+    of the pattern can consume a \\s character (matches then never span
+    tokens, and token order + in-token order == document order) and
+    token_pred is implied by every match (mandatory literal). Both the
+    tokenizer and the regex run under the same Java regex semantics."""
+    return F.flatten(
+        F.transform(
+            F.filter(F.split(F.col("body"), r"\s+"), token_pred),
+            lambda t: F.regexp_extract_all(t, F.lit(pattern), F.lit(0)),
+        )
+    )
+
+
 def _email_scan():
     """Email-family fast scan — row-identical to
     regexp_extract_all(body, EMAIL) by two equivalence facts:
@@ -39,20 +54,20 @@ def _email_scan():
     The email regex was 76% of the post-guard extraction stage (the
     corpus places '@' near-misses in every body, so the literal guard
     alone never prunes it); the token scan cuts it ~6.6x by scanning
-    ~10% of the bytes. Both equivalences are property-tested
+    ~10% of the bytes. The token filter also requires '.' — both
+    domain branches contain a mandatory literal dot ('\\[1.2.3.4]' or
+    '(x+\\.)+tld'), so a dot-free token ('mail@', '@corp') cannot hold
+    a match. Both equivalences are property-tested
     (test_email_possessive_twin_equiv, test_email_token_scan_equiv)
     and the whole plan is parity-tested against the unguarded Python
     twin."""
     body = F.col("body")
-    poss = F.lit(EMAIL_POSSESSIVE)
-    tokenized = F.flatten(
-        F.transform(
-            F.filter(F.split(body, r"\s+"), lambda t: t.contains("@")),
-            lambda t: F.regexp_extract_all(t, poss, F.lit(0)),
-        )
+    tokenized = _token_scan(
+        EMAIL_POSSESSIVE, lambda t: t.contains("@") & t.contains(".")
     )
     return F.when(
-        body.contains('"'), F.regexp_extract_all(body, poss, F.lit(0))
+        body.contains('"'),
+        F.regexp_extract_all(body, F.lit(EMAIL_POSSESSIVE), F.lit(0)),
     ).otherwise(tokenized)
 
 
@@ -75,11 +90,19 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
     pages = pages.repartition(sc.defaultParallelism * 4)
 
     def one_pass(pattern: str, literals: list[str] | None, kind: str = ""):
-        rx = (
-            _email_scan()
-            if kind == "email"
-            else F.regexp_extract_all(F.col("body"), F.lit(pattern), F.lit(0))
-        )
+        if kind == "email":
+            rx = _email_scan()
+        else:
+            # NOT routed through _token_scan even where it would be
+            # exact (TOKEN_SCANNABLE families): measured SLOWER for
+            # them — interleaved min-of-3 A/B at local[8] on the BENCH
+            # corpus, fb+insta+gh only: token scan 9.1s vs plain
+            # guarded scan 5.4s. These patterns fail fast (first-char
+            # 'h' check) so the split + interpreted ArrayFilter/
+            # ArrayTransform overhead exceeds the regex savings; email
+            # wins only because '@'-anchored tokens are rare relative
+            # to body bytes while its NFA is expensive per byte.
+            rx = F.regexp_extract_all(F.col("body"), F.lit(pattern), F.lit(0))
         if literals is None:
             return rx
         # literal-contains prefilter: each pattern has mandatory literal
@@ -117,23 +140,30 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
 
 def dedup_entities(raw: DataFrame) -> DataFrame:
     """First-occurrence dedup per (seed, kind) + dense ord assignment
-    ([...new Set(arr)], social.js:93-98)."""
-    order = [F.col("page_order"), F.col("match_pos")]
-    first = (
-        raw.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("seed_id", "kind", "value").orderBy(*order)
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    ([...new Set(arr)], social.js:93-98).
+
+    The first occurrence of a value is its MIN (page_order, match_pos),
+    so the dedup is a groupBy-min — Spark plans it with a map-side
+    partial aggregate, shrinking the shuffle to one row per distinct
+    (seed, kind, value) BEFORE the exchange. The naive twin (window
+    row_number()==1) shuffles every raw match row twice; at a 10^10
+    frontier where the same entity recurs across millions of pages,
+    partial aggregation is the difference between shuffling the match
+    stream and shuffling the entity set. Only the dense `ord` window
+    still sees a shuffle, over already-deduped rows."""
+    first = raw.groupBy("seed_id", "kind", "value").agg(
+        F.min(F.struct("page_order", "match_pos")).alias("first_at")
     )
     return first.select(
         "seed_id",
         "kind",
         (
-            F.row_number().over(Window.partitionBy("seed_id", "kind").orderBy(*order)) - 1
+            F.row_number().over(
+                Window.partitionBy("seed_id", "kind").orderBy(
+                    F.col("first_at.page_order"), F.col("first_at.match_pos")
+                )
+            )
+            - 1
         ).alias("ord"),
         "value",
     )

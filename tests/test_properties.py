@@ -269,7 +269,58 @@ def test_email_token_scan_equiv(body):
     tokenized = [
         m.group(0)
         for t in re.split(r"\s+", body)
-        if "@" in t
+        if "@" in t and "." in t
         for m in re.finditer(EMAIL, t)
     ]
     assert full == tokenized
+
+
+@settings(max_examples=200, deadline=None)
+@given(entity_bodies())
+def test_url_family_token_scan_equiv(body):
+    """For the TOKEN_SCANNABLE families (facebook/instagram/github —
+    no pattern atom in any branch can consume whitespace), scanning
+    only the literal-bearing whitespace tokens reproduces the full-body
+    scan exactly. This is the equivalence extract.py::_token_scan's
+    routing for these families rests on. (twitter is deliberately NOT
+    in the set: its `(.*\\.)?` consumes spaces, so e.g.
+    'https://a b.twitter.com/u' matches across a token boundary.)"""
+    import re
+
+    from scrapeulous_spark.functions.entities import (
+        FAMILIES,
+        REQUIRED_LITERALS,
+        TOKEN_SCANNABLE,
+    )
+
+    for kind in TOKEN_SCANNABLE:
+        (pat,) = FAMILIES[kind]
+        (lits,) = REQUIRED_LITERALS[kind]
+        full = [m.group(0) for m in re.finditer(pat, body)]
+        tokenized = [
+            m.group(0)
+            for t in re.split(r"\s+", body)
+            if any(l in t for l in lits)
+            for m in re.finditer(pat, t)
+        ]
+        assert full == tokenized, (kind, full, tokenized)
+
+
+def test_twitter_not_token_scannable():
+    """Regression pin for why twitter stays a full-body scan: Java/JS
+    `.` matches ' ', so `(.*\\.)?` lets a match span whitespace."""
+    import re
+
+    from scrapeulous_spark.functions.entities import FAMILIES
+
+    (pat,) = FAMILIES["twitter"]
+    body = "see https://a b.twitter.com/user_x ok"
+    full = [m.group(0) for m in re.finditer(pat, body)]
+    assert full == ["https://a b.twitter.com/user_x"]
+    tokenized = [
+        m.group(0)
+        for t in re.split(r"\s+", body)
+        if "twitter.com" in t
+        for m in re.finditer(pat, t)
+    ]
+    assert tokenized != full  # the token scan would LOSE this match
