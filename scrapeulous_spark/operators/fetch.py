@@ -49,7 +49,12 @@ def fetch_join(urls: DataFrame, pages: DataFrame, columns: tuple = PAGE_COLS) ->
 PAYLOAD_COLS = ("url", "body", "out_links")
 
 
-def payload_join(keys: DataFrame, pages: DataFrame, broadcast: bool = True) -> DataFrame:
+def payload_join(
+    keys: DataFrame,
+    pages: DataFrame,
+    broadcast: bool = True,
+    columns: tuple = PAYLOAD_COLS,
+) -> DataFrame:
     """Equi-join a small scheduled-key set against the payload columns
     of the page store. The payload side (body, out_links) is ~95% of
     the page-store bytes: a shuffle join would write and re-read all of
@@ -57,10 +62,18 @@ def payload_join(keys: DataFrame, pages: DataFrame, broadcast: bool = True) -> D
     the body scan straight into the join — the payload never shuffles
     here. Pass broadcast=False when one superstep's scheduled batch
     could exceed broadcast limits (~10M+ keys at a 10^10 frontier) and
-    let AQE plan the shuffle join."""
+    let AQE plan the shuffle join.
+
+    `columns` narrows the scan to the payload column a consumer
+    actually reads (parquet column chunks are independent): the
+    extraction job joins in `body` only and the frontier expansion
+    `out_links` only — two pipelined scans of DISJOINT heavy columns
+    that run concurrently on FAIR pools, instead of one shared
+    cached join that must be serially materialized (persist+count)
+    before the threads may race on it."""
     if broadcast:
         keys = F.broadcast(keys)
-    return keys.join(pages.select(*PAYLOAD_COLS), "url")
+    return keys.join(pages.select(*columns), "url")
 
 
 PAYLOAD_REPORT_SCHEMA = (

@@ -391,20 +391,25 @@ class CrawlEngine:
             lineage={"superstep": 0},
         )
         ok = fetched.filter("fetch_ok")
-        # payload join happens ONCE, for extraction only: ok rows pick up
-        # body/out_links by url equi-join against the pruned payload
-        # scan; broadcast the small (seed_id, url) key side so the body
-        # column never crosses an exchange (see fetch.payload_join)
-        ok_payload = payload_join(
-            ok.select("seed_id", "url"), pages, broadcast=self.broadcast_sched_keys
-        ).persist()
-        ok_payload.count()  # materialize ONCE before both threads read it
+        ok_keys = ok.select("seed_id", "url")
+        # the two payload consumers read DISJOINT heavy columns, so each
+        # gets its own column-pruned equi-join off the cached key set
+        # (fetched is materialized by the crawl_order append above):
+        # extraction scans `body`, expansion scans `out_links`. Both
+        # joins broadcast the small key side (see fetch.payload_join)
+        # and run concurrently on FAIR pools — no shared cached join,
+        # so no serial persist+count pass over the body bytes on the
+        # critical path, and no executor-memory pressure from caching
+        # ~95% of the page-store bytes.
 
         # entity matches from seed pages (page_order 0) — the CPU-dense
         # regex job runs on the background thread, overlapping all the
         # metadata-scale commits below (titles, frontier, seen)
         raw = extract_entities_raw(
-            ok_payload.select("seed_id", F.lit(0).alias("page_order"), "body")
+            payload_join(
+                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                columns=("url", "body"),
+            ).select("seed_id", F.lit(0).alias("page_order"), "body")
         )
         extract_fut = self._overlap(
             self.entities_raw.append, raw, lineage={"superstep": 0}
@@ -429,8 +434,12 @@ class CrawlEngine:
         frontier_fut = None
         cands = None
         if self.link_depth > 0:
+            ok_links = payload_join(
+                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                columns=("url", "out_links"),
+            ).select("seed_id", "url", "out_links")
             cands = (
-                expand_candidates(ok_payload.select("seed_id", "url", "out_links"), robots)
+                expand_candidates(ok_links, robots)
                 .withColumn("depth", F.lit(1))
                 .persist()
             )
@@ -480,7 +489,6 @@ class CrawlEngine:
             if cands is not None:
                 cands.unpersist()
             fetched.unpersist()
-            ok_payload.unpersist()
 
         return finish, frontier_fut
 
@@ -553,26 +561,18 @@ class CrawlEngine:
             # rerun overwrites idempotently) or predates it (resume
             # rolls the partial commit back and finalize reruns it).
             self._validate_fut = self._overlap(self._validate_payloads, pool="validate")
-        # payload join once for the scheduled+ok rows only — broadcast
-        # the scheduled keys for the same reason as the seeds superstep:
-        # never shuffle the body column (see fetch.payload_join)
-        popped_payload = payload_join(
-            popped.filter("fetch_ok").select("seed_id", "url", "step", "pop_rank"),
-            pages,
-            broadcast=self.broadcast_sched_keys,
-        )
-        if d < self.link_depth:
-            # only the expansion branch below shares this DF with the
-            # extraction thread — materialize ONCE before both read it.
-            # At terminal depth nothing else touches it: persisting and
-            # counting there would serialize a full pass over the body
-            # join before the extraction fork, for no reuse at all.
-            popped_payload = popped_payload.persist()
-            popped_payload.count()
+        # payload joins for the scheduled+ok rows only — broadcast the
+        # scheduled keys for the same reason as the seeds superstep:
+        # never shuffle the body column. Extraction and expansion read
+        # DISJOINT heavy columns (body vs out_links), so each gets its
+        # own column-pruned pipelined join — no shared cache, no serial
+        # persist+count materialization pass (see fetch.payload_join).
+        ok_keys = popped.filter("fetch_ok").select("seed_id", "url", "step", "pop_rank")
         raw = extract_entities_raw(
-            popped_payload.select(
-                "seed_id", F.col("step").cast("int").alias("page_order"), "body"
-            )
+            payload_join(
+                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                columns=("url", "body"),
+            ).select("seed_id", F.col("step").cast("int").alias("page_order"), "body")
         )
         # overlap the regex job with expansion/drain + seen commits below
         extract_fut = self._overlap(
@@ -582,7 +582,10 @@ class CrawlEngine:
         if d < self.link_depth:
             # expand: enqueue order = (parent pop order, DOM order);
             # exclude anything this seed already visited or enqueued
-            parents = popped_payload.select(
+            parents = payload_join(
+                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                columns=("url", "out_links"),
+            ).select(
                 "seed_id", "url", "out_links", F.col("pop_rank").cast("long").alias("parent_rank")
             )
             cands = expand_candidates(parents, robots).join(
@@ -629,7 +632,6 @@ class CrawlEngine:
             self._record_metrics(d, f"depth{d}_fetch", sched, (time.time() - t0) * 1e3)
             if nxt is not None:
                 nxt.unpersist()
-            popped_payload.unpersist()
             sched.unpersist()
 
         return finish, frontier_fut
