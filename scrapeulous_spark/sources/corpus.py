@@ -72,11 +72,19 @@ class CorpusParams:
 
 SMOKE = CorpusParams()
 CORRECTNESS = CorpusParams(n_images=5000, n_hosts=24, n_pages=12000, n_seeds=120)
+# BENCH v2 (2026-08-18): 450k pages / 90k seeds, up from 300k/60k. The
+# sizing rule (BASELINE.md) is that a timed crawl leg must run >= 60s
+# wall so per-run fixed costs (driver round-trips, plan compiles,
+# snapshot commits — O(seconds), invariant in data size) stay amortized
+# the way they are at the 10^10-URL target scale; the engine speedups
+# of this date pushed the local[4] leg on the 300k corpus to ~55s,
+# under the floor. Numbers measured on the v1 corpus are marked in
+# BENCH.md and are not directly comparable.
 BENCH = CorpusParams(
     n_images=30000,
     n_hosts=64,
-    n_pages=300000,
-    n_seeds=60000,
+    n_pages=450000,
+    n_seeds=90000,
     img_w=48,
     img_h=32,
     max_links=20,
