@@ -23,16 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# One engine run serves every engine-native query in the same driver
+# process: loop_frontier_dfs / dedup_url_seen_engine / udaf_social_extract
+# are three views of the SAME crawl, so re-running ~40s of supersteps per
+# query only burns the driver's correctness budget (round-1 verdict #3).
+_ENGINE_CACHE: dict[tuple[str, str, bool], object] = {}
+
+
 def _run_engine(spark: SparkSession, validate_images: bool = True):
     from scrapeulous_spark.plans.loop import CrawlEngine
     from scrapeulous_spark.session import ship_package
     from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
 
+    key = (spark.sparkContext.applicationId, SMOKE.tag, validate_images)
+    cached = _ENGINE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ship_package(spark)
     paths = ensure_corpus(SMOKE)
     wh = tempfile.mkdtemp(prefix="crawl_wh_")
     eng = CrawlEngine(spark, wh, paths, validate_images=validate_images)
     eng.run()
+    _ENGINE_CACHE[key] = eng
     return eng
 
 
@@ -78,6 +90,33 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Queries the round-1 driver DID verify (CORRECTNESS_r01.json rows).
+# The driver walks queries() in registration order under a budget and
+# round 1 starved everything after position 50 — so the never-verified
+# set registers FIRST and these proven-green ones re-verify last.
+_VERIFIED_R01 = [
+    "rank_position", "rank_post_filter", "rank_zero_based",
+    "limit_max_images", "limit_max_requests", "topk_frontier_pop",
+    "union_ad_blocks", "dedup_url_seen", "dedup_result_fields",
+    "agg_accumulate_pages", "agg_results_per_key", "dedup_extensions",
+    "join_frontier_seen", "join_params_merge", "join_budget_asof",
+    "join_imgref_consistency", "filt_clean_results", "filt_blocked_detect",
+    "filt_organic_admission", "fn_num_norm_float", "fn_num_strip_parens",
+    "fn_price_extract", "filt_price_present", "fn_total_results",
+    "fn_split_dot_sep", "fn_split_dash", "fn_str_insert",
+    "fn_normalize_key", "fn_trim_nonempty", "fn_base64_encode",
+    "fn_regex_email", "fn_regex_github", "fn_regex_phones",
+    "fn_url_param_extract", "fn_url_parse", "src_serp_url_build",
+    "src_pagination_loop", "sink_result_json", "sink_pdf",
+    "fn_uri_encode", "fn_url_params_map", "fn_regex_instagram",
+    "fn_regex_facebook", "fn_regex_twitter", "fn_page_title",
+    # ran in round 1 as rows-only (no_oracle) — they now have real
+    # oracles where twinnable, but were at least SEEN by the driver
+    "src_http_get", "src_browser_render", "sink_screenshot",
+    "udf_custom_crawler", "join_payload_oracle",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import ship_package
@@ -91,10 +130,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wrapper
 
+    catalog = load_all_catalogs()
+    seen_r01 = set(_VERIFIED_R01)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: shipped(q.spark) for name, q in load_all_catalogs().items()
+        name: shipped(q.spark) for name, q in catalog.items() if name not in seen_r01
     }
+    # engine-native queries next: ONE shared ~40s crawl serves all three
+    # engine views (memoized _run_engine), then the corpus reads
     out.update({name: shipped(fn) for name, fn in _engine_queries().items()})
+    # round-1-verified queries re-verify last
+    out.update(
+        {
+            name: shipped(catalog[name].spark)
+            for name in _VERIFIED_R01
+            if name in catalog
+        }
+    )
     return out
 
 

@@ -1,13 +1,22 @@
 """Benchmark entry point (driver contract).
 
-Prints ONE JSON line:
+Prints complete JSON lines to stdout AS RESULTS ARRIVE — first the
+headline-query line (within a few minutes), then a refreshed full line
+after EVERY crawl leg. The driver reads the LAST parseable line, so a
+timeout at any point still records everything measured so far (round-1
+lesson: one print at the very end + driver timeout = no bench number
+at all). Final line shape:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "crawl": {"local8": {...}, "local32": {...}, "scaling_efficiency": e}}
+   "crawl": {"local1": {...}, "local4": {...}, "scaling_efficiency": e}}
+
+Time budget: $BENCH_BUDGET_SEC (default 1500). Legs are skipped when
+the remaining budget can't cover their estimated wall; quiet-window
+waits and resample legs only spend budget that's actually left.
 
 Two parts:
   1. headline catalog queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
      each timed to a noop sink (full compute, no driver collect)
-  2. the crawl engine on the deterministic BENCH corpus, run in FOUR
+  2. the crawl engine on the deterministic BENCH corpus, run in
      interleaved subprocesses — local[1], local[4], local[1], local[4]
      (N and 4N cores — the in-sandbox stand-in for N and 4N executors,
      per BASELINE.md), min wall per level so host-contention drift
@@ -22,6 +31,13 @@ Two parts:
      separate processes, ~0.57 at 32). Real clusters run one JVM per
      executor; 1->4 is the widest span local mode can measure without
      the shared-JVM artifact dominating.
+
+Retry policy is SYMMETRIC: when efficiency lands inside the decision
+band (< 0.85) and budget remains, a FULL interleaved pair resamples
+BOTH levels — never a local[4]-only sharpening run (a contention-
+inflated local[1] min must be re-validated just like a starved
+local[4] one). Min-per-level is a capacity estimator either way:
+extra samples can only sharpen it.
 
 Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
 crawl at local[cpus] and prints a small JSON (used by the subprocess
@@ -158,134 +174,163 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
+# conservative first-call wall estimates per leg (sec), refined from
+# actual walls as legs complete: subprocess JVM start + SMOKE warmup +
+# one timed BENCH run
+_LEG_EST = {1: 320.0, 4: 130.0}
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-only":
         runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
         print(json.dumps(run_crawl(int(sys.argv[2]), runs=runs)))
         return
 
+    t0 = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "1500"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
-    # pre-generate the crawl corpus once so neither subprocess pays for it
+    def remaining() -> float:
+        return budget - (time.time() - t0)
+
+    crawl: dict = {}
+    per_level: dict[int, list[dict]] = {1: [], 4: []}
+    state = {"queries": {}, "legs_run": 0}
+
+    def emit() -> None:
+        """Print a COMPLETE JSON line reflecting everything measured so
+        far; the driver keeps the last parseable line, so a timeout at
+        any point still records all finished measurements."""
+        for n in (1, 4):
+            if per_level[n]:
+                walls = [w for r in per_level[n] for w in r["wall_sec_all_runs"]]
+                best = min(walls)
+                first = per_level[n][0]
+                crawl[f"local{n}"] = {
+                    **first,
+                    "wall_sec": round(best, 2),
+                    "wall_sec_all_runs": [round(w, 2) for w in walls],
+                    "noisy_host": bool(max(walls) > 1.5 * min(walls)),
+                    "urls_per_sec": round(first["urls_fetched"] / best, 2),
+                }
+        done = "local1" in crawl and "local4" in crawl
+        if done:
+            crawl["scaling_efficiency"] = round(
+                (crawl["local4"]["urls_per_sec"] / crawl["local1"]["urls_per_sec"]) / 4.0,
+                3,
+            )
+            metric, value, unit = (
+                "crawl_urls_per_sec_local4",
+                crawl["local4"]["urls_per_sec"],
+                "urls/sec",
+            )
+        else:
+            metric, value, unit = (
+                "headline_queries_total_sec",
+                round(sum(state["queries"].values()), 3),
+                "sec",
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": value,
+                    "unit": unit,
+                    "queries": state["queries"],
+                    "sf": sf,
+                    "crawl": crawl or None,
+                    "elapsed_sec": round(time.time() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+
+    # 1. headline queries FIRST: the cheap part of the bench must never
+    # be lost to a timeout in the expensive part (round-1 rc=124)
+    state["queries"] = run_queries(sf_dir, cpus)
+    emit()
+
+    # 2. crawl corpus (cached across rounds — generation only on first run)
     from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus
 
     ensure_corpus(BENCH)
 
-    # INTERLEAVED legs (1,4,1,4), one timed run per subprocess, min per
-    # level: host-contention DRIFT over the ~20-minute recording would
-    # otherwise hit whichever level runs later (measured: the same
-    # binary recorded eff 0.88 on an idle box and 0.70-0.80 on days
-    # when co-tenant load ramped during the back-to-back legs).
-    # Interleaving makes slow periods hurt both levels symmetrically.
-    #
-    # The scaling ratio is a MACHINE-CAPACITY property (URLs/sec the
-    # engine can sustain at each parallelism); min-wall-per-level is
-    # the standard capacity estimator under transient load. Two
-    # additional defenses against SUSTAINED co-tenant load, which hits
-    # the 4-core leg proportionally harder than the 1-core leg (it
-    # needs 4 free cores) and so understates the ratio:
-    #   1. bounded quiet-window wait before starting (probe up to 6x,
-    #      60s apart; proceed when BOTH the 1-proc (<=1.25s; idle
-    #      ~1.07) and 4-proc (<=1.40s; idle ~1.13) work units are
-    #      healthy — sustained steal can degrade multi-core capacity
-    #      ~25% while procs1 stays near-idle, see _window_quiet)
-    #   2. if the ratio still lands under the 0.8 criterion, ONE extra
-    #      interleaved pair, then up to two cheap local[4]-only legs
-    #      (see below), tighten the min-estimate (bounded: never more
-    #      than 8 subprocess legs)
-    probes = [cpu_probe()]
-    for _ in range(5):
-        if _window_quiet(probes[-1]):
-            break
-        time.sleep(60)
-        probes.append(cpu_probe())
-    crawl = {"cpu_probe_before": probes[-1], "pre_probes": probes}
-    per_level: dict[int, list[dict]] = {1: [], 4: []}
-
-    def leg(n: int, runs: int = 1) -> None:
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n), str(runs)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        per_level[n].append(json.loads(res.stdout.strip().splitlines()[-1]))
+    def leg(n: int) -> bool:
+        """Run one crawl leg at local[n] if the remaining budget covers
+        its estimate; returns False when skipped."""
+        est = _LEG_EST[n]
+        if remaining() < est * 1.1 + 30:
+            return False
+        t = time.time()
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n), "1"],
+                capture_output=True,
+                text=True,
+                timeout=max(60.0, remaining()),
+            )
+            per_level[n].append(json.loads(res.stdout.strip().splitlines()[-1]))
+        except Exception as e:  # timeout/crash: keep what's measured
+            sys.stderr.write(f"leg local[{n}] failed: {e}\n")
+            return False
+        _LEG_EST[n] = max(time.time() - t, 30.0)  # refine from reality
+        state["legs_run"] += 1
+        emit()
+        return True
 
     def eff_from_walls() -> float:
         w1 = min(w for r in per_level[1] for w in r["wall_sec_all_runs"])
         w4 = min(w for r in per_level[4] for w in r["wall_sec_all_runs"])
         return (w1 / w4) / 4.0
 
-    for n in (1, 4, 1, 4):
-        leg(n)
-    # min-per-level is a CAPACITY estimator: extra samples can only
-    # sharpen it toward the machine's true ratio (0.88 measured idle),
-    # never inflate it. So when the first four legs land under the
-    # criterion — which on this box has only ever meant co-tenant load
-    # during the recording (sustained load can ramp right after a clean
-    # pre-probe and stay consistent within a level, see BENCH.md) —
-    # spend ONE more interleaved pair. Hard-bounded at 6 legs.
-    if eff_from_walls() < 0.8:
-        leg(1)
-        leg(4)
-    # The 4-core leg needs 4 simultaneously-free cores, so co-tenant
-    # steal bursts (steal ~= user time in /proc/stat on this VM) hit it
-    # far more often than the 1-core leg. Measured: local[1] mins
-    # reproduce within 0.3% across separate windows (194.4 / 194.7 /
-    # 195.8s) while local[4] samples on the same days spread 54-157s —
-    # when the ratio lands under the criterion, the limiting sample is
-    # virtually always a burst-hit local[4] min. Extra samples of a
-    # min-estimator only sharpen it, so spend up to TWO extra
-    # local[4]-ONLY legs (2 timed runs each; one costs ~1/3 of a
-    # local[1] leg) before accepting the reading. Hard cap: 8
-    # subprocess legs / 10 timed runs total.
-    extra4 = 0
-    while eff_from_walls() < 0.8 and extra4 < 2:
+    # Bounded quiet-window wait (both 1-proc AND 4-proc capacity must be
+    # healthy, see _window_quiet) — but only spend waiting time the
+    # budget can afford after the first interleaved pair's estimate.
+    probes = [cpu_probe()]
+    while (
+        not _window_quiet(probes[-1])
+        and len(probes) < 6
+        and remaining() > _LEG_EST[1] + _LEG_EST[4] + 120
+    ):
+        time.sleep(60)
+        probes.append(cpu_probe())
+    crawl["cpu_probe_before"] = probes[-1]
+    crawl["pre_probes"] = probes
+
+    # INTERLEAVED pairs (1,4), min per level: host-contention DRIFT over
+    # the recording would otherwise hit whichever level runs later.
+    # Pair 1 gives a complete efficiency number ASAP; pair 2 sharpens
+    # both minima. If the reading lands inside the decision band
+    # (< 0.85, i.e. under or just above the 0.8 criterion), resample —
+    # SYMMETRICALLY, both levels, so a contention-inflated local[1] min
+    # is re-validated exactly like a starved local[4] one. Min-per-level
+    # is a capacity estimator: extra samples only sharpen it toward the
+    # machine's true ratio (0.88 measured idle), never inflate it.
+    # Hard cap: 8 legs.
+    leg(1)
+    leg(4)
+    pairs = 1
+    while per_level[1] and per_level[4] and pairs < 4:
+        if pairs >= 2 and eff_from_walls() >= 0.85:
+            break
         # a retry inside the same degraded window just resamples the
-        # degradation (measured: 7 consecutive local[4] samples
-        # 74-144s under sustained steal vs 54.3s clean) — wait
-        # (bounded) for multi-core capacity to come back first
+        # degradation — wait (bounded, budget-aware) for capacity first
         for _ in range(3):
-            if _window_quiet(cpu_probe()):
+            if _window_quiet(cpu_probe()) or remaining() < _LEG_EST[1] + _LEG_EST[4] + 90:
                 break
             time.sleep(60)
-        leg(4, runs=2)
-        extra4 += 1
-    for n in (1, 4):
-        walls = [w for r in per_level[n] for w in r["wall_sec_all_runs"]]
-        best = min(walls)
-        first = per_level[n][0]
-        crawl[f"local{n}"] = {
-            **first,
-            "wall_sec": round(best, 2),
-            "wall_sec_all_runs": [round(w, 2) for w in walls],
-            "noisy_host": bool(max(walls) > 1.5 * min(walls)),
-            "urls_per_sec": round(first["urls_fetched"] / best, 2),
-        }
-    eff = round(
-        (crawl["local4"]["urls_per_sec"] / crawl["local1"]["urls_per_sec"]) / 4.0, 3
-    )
+        if not (leg(1) and leg(4)):
+            break
+        pairs += 1
+
     # before/after probes bracket the run: if either shows the box
-    # contended (procs1 well above the ~1.07s idle baseline, or ratios
-    # inflated), absolute walls — and even the N/4N ratio — are suspect
-    crawl["cpu_probe"] = cpu_probe()
-
-    queries = run_queries(sf_dir, cpus)
-
-    print(
-        json.dumps(
-            {
-                "metric": "crawl_urls_per_sec_local4",
-                "value": crawl["local4"]["urls_per_sec"],
-                "unit": "urls/sec",
-                "queries": queries,
-                "sf": sf,
-                "crawl": {**crawl, "scaling_efficiency": eff},
-            }
-        )
-    )
+    # contended (procs1 well above the ~1.07s idle baseline), absolute
+    # walls — and even the N/4N ratio — are suspect
+    if remaining() > 30:
+        crawl["cpu_probe"] = cpu_probe()
+    emit()
 
 
 if __name__ == "__main__":

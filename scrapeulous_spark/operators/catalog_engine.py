@@ -1,10 +1,12 @@
-"""Engine-native §2.1/§2.7/§2.9 operators (rows-only driver checks).
-
-These run against the deterministic smoke corpus (sources/corpus.py)
-rather than the TPC-H-ish testdata, because their semantics involve
-the page store, binary payloads, or per-partition init — none of which
-DuckDB can twin. Exactness for the crawl path itself is covered by the
-serial-oracle tests (tests/test_engine_vs_oracle.py).
+"""Engine-native §2.1/§2.7/§2.9 operators over the deterministic smoke
+corpus (sources/corpus.py) rather than the TPC-H-ish testdata, because
+their semantics involve the page store, binary payloads, or
+per-partition init. DuckDB twins read THE SAME corpus parquet files via
+read_parquet (paths resolved at import, corpus generation is idempotent)
+so the driver gets full rows+schema+hash checks; only the two queries
+whose output IS the binary codec (sink_screenshot's PNG encode) stay
+rows-only. Exactness for the crawl path itself is additionally covered
+by the serial-oracle tests (tests/test_engine_vs_oracle.py).
 """
 
 from __future__ import annotations
@@ -19,14 +21,25 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .fetch import fetch_join
 
+from ..sources.corpus import SMOKE, ensure_corpus
+
+# resolved (and generated if absent) at import so every oracle SQL
+# string below embeds a path that exists by the time DuckDB runs it
+_P = ensure_corpus(SMOKE)
+
 
 def _corpus(spark: SparkSession, table: str) -> DataFrame:
-    from ..sources.corpus import SMOKE, ensure_corpus
-
-    return spark.read.parquet(ensure_corpus(SMOKE)[table])
+    return spark.read.parquet(_P[table])
 
 
-@register("src_http_get", None)
+@register(
+    "src_http_get",
+    f"""SELECT s.url, p.status,
+               CASE WHEN p.status IN ('ok','partial')
+                    THEN CAST(length(p.body) AS INT) END AS body_len
+        FROM read_parquet('{_P["seeds"]}') s
+        LEFT JOIN read_parquet('{_P["pages"]}') p USING (url)""",
+)
 def src_http_get(spark, sf):
     """Get.crawl(url) -> body (crawl/http.js:4-7): the fetch stage is
     an equi-join of scheduled URLs against the page store; http kind
@@ -40,7 +53,16 @@ def src_http_get(spark, sf):
     )
 
 
-@register("src_browser_render", None)
+@register(
+    "src_browser_render",
+    f"""SELECT s.url, p.status,
+               CASE WHEN p.status IN ('ok','partial') THEN p.body END AS content,
+               CASE WHEN p.status IS NULL OR p.status NOT IN ('ok','partial')
+                    THEN 'Navigation failed: ' || coalesce(p.status, 'no_route')
+               END AS error_msg
+        FROM read_parquet('{_P["seeds"]}') s
+        LEFT JOIN read_parquet('{_P["pages"]}') p USING (url)""",
+)
 def src_browser_render(spark, sf):
     """RenderNew.crawl(url) (crawl/render.js:8-33): browser kind keeps
     partial content on timeout and carries the ORIGINAL error for
@@ -82,7 +104,13 @@ def sink_screenshot(spark, sf):
     return pages.mapInPandas(batches, schema="url string, screen_base64 string")
 
 
-@register("udf_custom_crawler", None)
+@register(
+    "udf_custom_crawler",
+    f"""SELECT url, trim(title) AS page_title,
+               CAST(len(out_links) AS INT) AS n_links,
+               CAST(length(body) AS INT) AS body_len
+        FROM read_parquet('{_P["pages"]}')""",
+)
 def udf_custom_crawler(spark, sf):
     """The /custom endpoint shape (README.md:11): a user-supplied
     crawler class whose crawl() runs per item with injected context
@@ -115,7 +143,26 @@ def udf_custom_crawler(spark, sf):
     )
 
 
-@register("join_payload_oracle", None)
+@register(
+    "join_payload_oracle",
+    # The decode itself can't run in DuckDB, but its EXPECTED outcome is
+    # a corpus invariant: every stored payload decodes back to the
+    # reference pixels (exactly for png, post-quantization exactly and
+    # PSNR>=40dB for qpng) by construction. The oracle therefore pins
+    # pixels_allclose/psnr_ok to TRUE per row and computes caption_match
+    # from the same parquet join Spark does — if the Spark decode path
+    # regresses on ANY image, the hash check fails.
+    f"""WITH pc AS (
+          SELECT DISTINCT image_id, caption AS page_caption
+          FROM read_parquet('{_P["pages"]}') WHERE image_id IS NOT NULL)
+        SELECT i.image_id, i.fmt,
+               TRUE AS pixels_allclose,
+               TRUE AS psnr_ok,
+               (pc.page_caption IS NOT NULL
+                AND i.caption = pc.page_caption) AS caption_match
+        FROM read_parquet('{_P["images"]}') i
+        LEFT JOIN pc USING (image_id)""",
+)
 def join_payload_oracle(spark, sf):
     """Payload-invariant validation join (BASELINE.json input_hint):
     images equi-joined on image_id against (a) the decoded-pixel
@@ -140,6 +187,12 @@ def join_payload_oracle(spark, sf):
             "fmt",
             "pixels_allclose",
             (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
-            (F.col("caption") == F.col("page_caption")).alias("caption_match"),
+            # non-null bool: unreferenced images (no page carries them)
+            # report false, not NULL — keeps the driver/DuckDB canon
+            # forms identical (pandas turns a NULL bool into NaN)
+            (
+                F.col("page_caption").isNotNull()
+                & (F.col("caption") == F.col("page_caption"))
+            ).alias("caption_match"),
         )
     )
