@@ -75,22 +75,6 @@ REQUIRED_LITERALS: dict[str, list[list[str] | None]] = {
     "github": [["github.com/"]],
 }
 
-# Families whose every pattern atom — in EVERY alternation branch —
-# matches no whitespace character under Java semantics: literals have
-# no \s, and the char classes ([A-z0-9_\-\.], [A-Za-z0-9_.]) all live
-# above/outside [ \t\n\x0B\f\r]. A match therefore never spans a \s+
-# token boundary, so a token-restricted scan (extract.py::_token_scan)
-# would be row-identical to the full-body scan — proven by
-# tests/test_properties.py::test_url_family_token_scan_equiv. Routing
-# them through it was MEASURED SLOWER though (see extract.one_pass),
-# so only email (whose per-byte NFA cost is far higher) uses the token
-# fast path. Excluded even from the equivalence: twitter (`(.*\.)?` —
-# Java `.` matches ' '/\t, so matches DO span spaces, e.g.
-# 'https://a b.twitter.com/u'), phone_de (classes contain literal
-# ' '), phone_generic ([-\s\.]), email's `".+"` branch (quote
-# fallback in _email_scan).
-TOKEN_SCANNABLE = ("facebook", "instagram", "github")
-
 # accumulation order across kinds follows extractSocialInformation
 # (social.js:224-231): emails, phones, facebook, twitter, instagram, github
 KIND_ORDER = ["email", "phone", "facebook", "twitter", "instagram", "github"]

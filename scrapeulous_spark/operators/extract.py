@@ -5,7 +5,9 @@ into shared arrays (/root/reference/custom/social.js:59, :85,
 :224-231), then dedups each array first-occurrence-preserving
 (:93-98). Here: regexp_extract_all per family (JVM-side, codegen), an
 explicit ordering key (page_order, family pass, match index) replaces
-"array append order", and the dedup is a window row_number() == 1.
+"array append order", and the dedup keeps each (seed,kind,value)'s
+minimum ordering key via a map-side-combinable groupBy-min, with the
+final per-kind ord assigned by a window over the already-deduped rows.
 No Python runs in this path at all.
 """
 

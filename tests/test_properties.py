@@ -287,11 +287,15 @@ def test_url_family_token_scan_equiv(body):
     'https://a b.twitter.com/u' matches across a token boundary.)"""
     import re
 
-    from scrapeulous_spark.functions.entities import (
-        FAMILIES,
-        REQUIRED_LITERALS,
-        TOKEN_SCANNABLE,
-    )
+    from scrapeulous_spark.functions.entities import FAMILIES, REQUIRED_LITERALS
+
+    # Families whose every pattern atom — in EVERY alternation branch —
+    # matches no whitespace char under Java semantics, so a match never
+    # spans a \s+ token boundary. A rejected optimization (routing them
+    # through extract._token_scan measured SLOWER; only email keeps the
+    # token fast path) — the constant lives here as the executable pin
+    # of the equivalence, not in the production module.
+    TOKEN_SCANNABLE = ("facebook", "instagram", "github")
 
     for kind in TOKEN_SCANNABLE:
         (pat,) = FAMILIES[kind]

@@ -1,0 +1,138 @@
+"""Pin the §1.4.4 per-extractor conventions on the payload-driven
+proj_* queries: pre- vs post-filter position counters, error-string
+fallbacks, the reverse-image fallback chain's type labels, and the
+parseFloat prefix quirk. The generic oracle equivalence is covered by
+test_queries_contract; these assertions pin the SEMANTICS so a
+regression that changed both sides identically would still fail."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"  # ignored by serp queries (corpus-backed)
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from scrapeulous_spark.operators import load_all_catalogs
+
+    return load_all_catalogs()
+
+
+def _run(registry, spark, name):
+    return registry[name].spark(spark, SF).toPandas()
+
+
+def test_google_organic_prefilter_positions_keep_gaps(registry, spark):
+    """google position = DOM index + 1 assigned BEFORE admission
+    (google_scraper.js:144-145, :203-206): dropped blocks leave gaps."""
+    df = _run(registry, spark, "proj_google_organic")
+    per_url = df.groupby("url")["position"].apply(list)
+    assert any(
+        sorted(p) != list(range(1, len(p) + 1)) for p in per_url
+    ), "expected at least one page with position gaps from dropped blocks"
+    # never duplicated within a page
+    assert all(len(set(p)) == len(p) for p in per_url)
+
+
+def test_bing_organic_postfilter_positions_dense(registry, spark):
+    """bing position assigned on admission (bing_scraper.js:148-150):
+    always exactly 1..n per page."""
+    df = _run(registry, spark, "proj_bing_organic")
+    for _url, p in df.groupby("url")["position"]:
+        assert sorted(p) == list(range(1, len(p) + 1))
+
+
+def test_ads_error_string_fallbacks(registry, spark):
+    from scrapeulous_spark.operators.catalog_serp import (
+        ERR_AD_DESC,
+        ERR_AD_TITLE,
+        ERR_AD_TRACKING,
+    )
+
+    g = _run(registry, spark, "proj_google_ads")
+    assert (g["title"] == ERR_AD_TITLE).any()
+    assert (g["description"] == ERR_AD_DESC).any()
+    assert g["title"].notna().all()  # fallback means never-null
+    b = _run(registry, spark, "proj_bing_ads")
+    assert (b["tracking_link"] == ERR_AD_TRACKING).any()
+    assert b["description"].notna().all()
+
+
+def test_ads_shared_position_counter_spans_blocks(registry, spark):
+    """top+bottom ads share one counter (google_scraper.js:215-259)."""
+    g = _run(registry, spark, "proj_google_ads")
+    pages = g.groupby("url")
+    both = [u for u, d in pages if set(d["block_position"]) == {"top", "bottom"}]
+    assert both, "corpus must contain a page with top AND bottom ads"
+    for u in both:
+        d = g[g["url"] == u].sort_values("position")
+        assert list(d["position"]) == list(range(1, len(d) + 1))
+        # all top positions precede all bottom positions (document order)
+        tops = d[d["block_position"] == "top"]["position"]
+        bots = d[d["block_position"] == "bottom"]["position"]
+        assert tops.max() < bots.min()
+
+
+def test_rev_image_fallback_chain_types(registry, spark):
+    """All three type labels are produced, with google's 0-based rank
+    (reverse_image_google_final.js:134) vs bing's 1-based (:60)."""
+    g = _run(registry, spark, "proj_rev_image_meta")
+    assert {"normal", "data-iurl", "dataimage"} <= set(g["type"])
+    assert g["rank"].min() == 0
+    # dataimage rows fell through BOTH param and data-iurl levels
+    di = g[g["type"] == "dataimage"]
+    assert (di["imgurl"].str.startswith("data:")).all()
+    b = _run(registry, spark, "proj_bing_rev_image")
+    assert b["rank"].min() == 1
+    # decodeURIComponent applied: no %2F survives in decoded urls
+    assert not b["imgurl"].dropna().str.contains("%2F").any()
+    assert b["imgurl"].dropna().str.contains("://").all()
+
+
+def test_parsefloat_prefix_quirk(registry, spark):
+    """parseFloat(['4,1']) === 4 (bing_scraper.js:214-221): comma
+    ratings truncate to the integer prefix, dot ratings keep decimals."""
+    b = _run(registry, spark, "proj_bing_ads")
+    rated = b["rating"].dropna()
+    assert len(rated) > 0
+    assert ((rated == rated.astype(int)) | (rated % 1 != 0)).all()
+    assert (rated == rated.astype(int)).any(), "comma variant truncates"
+    assert (rated % 1 != 0).any(), "dot variant keeps decimals"
+    # google places uses replace(',','.') -> full value (js:344-352)
+    p = _run(registry, spark, "proj_google_places")
+    with_r1 = p[p["reviews"].notna()]
+    assert (with_r1["rating"] % 1 != 0).any()
+
+
+def test_places_rating_defaults_zero(registry, spark):
+    """google place rating initialized 0.0 and kept when the details
+    row is missing (google_scraper.js:335)."""
+    p = _run(registry, spark, "proj_google_places")
+    no_r1 = p[p["place_type"].isna()]
+    assert len(no_r1) > 0
+    assert (no_r1["rating"] == 0.0).all()
+
+
+def test_shopping_admission_leaves_position_gaps(registry, spark):
+    """bing shopping position is pre-filter ++position; units without a
+    price are dropped but consume a position (bing_scraper.js:268-271,
+    :356-358)."""
+    s = _run(registry, spark, "proj_bing_shopping")
+    assert s["price"].notna().all()
+    per_url = s.groupby("url")["position"].apply(list)
+    assert any(sorted(p) != list(range(1, len(p) + 1)) for p in per_url)
+
+
+def test_serp_corpus_deterministic():
+    from scrapeulous_spark.sources.serp_corpus import SMOKE, gen_serps
+
+    a = gen_serps(SMOKE)
+    b = gen_serps(SMOKE)
+    assert a.equals(b)
+    assert a.column("body").null_count == 0
+    bodies = a.column("body").to_pylist()
+    assert all("\n" not in s for s in bodies)
