@@ -39,9 +39,11 @@ inflated local[1] min must be re-validated just like a starved
 local[4] one). Min-per-level is a capacity estimator either way:
 extra samples can only sharpen it.
 
-Internal mode: ``python bench.py --crawl-only <cpus>`` runs just the
-crawl at local[cpus] and prints a small JSON (used by the subprocess
-fan-out; separate processes because one JVM has one master).
+Internal mode: ``python bench.py --crawl-only <cpus> [runs] [bloom]``
+runs just the crawl at local[cpus] and prints a small JSON (used by
+the subprocess fan-out; separate processes because one JVM has one
+master). The optional ``bloom`` token turns on the partitioned Bloom
+seen-set prefilter for A/B measurement (BENCH.md records the result).
 """
 
 from __future__ import annotations
@@ -72,7 +74,7 @@ HEADLINE = [
 ]
 
 
-def run_crawl(cpus: int, runs: int = 2) -> dict:
+def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
     """Warm-up crawl on SMOKE (caches codegen/plan-compile fixed costs,
     ~40s — at a real 10^10-URL frontier the one-time compile is noise),
     then `runs` timed BENCH crawls; report min(walls). min-of-k is the
@@ -90,7 +92,7 @@ def run_crawl(cpus: int, runs: int = 2) -> dict:
     for run_paths in (warm_paths,) + (paths,) * runs:
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.time()
-            eng = CrawlEngine(spark, wh, run_paths)
+            eng = CrawlEngine(spark, wh, run_paths, use_bloom=use_bloom)
             eng.run()
             n_urls = eng.result_crawl_order().count()
             n_seen = eng.result_seen().count()
@@ -100,6 +102,7 @@ def run_crawl(cpus: int, runs: int = 2) -> dict:
     wall = min(walls)
     return {
         "cpus": cpus,
+        "use_bloom": use_bloom,
         "urls_fetched": n_urls,
         "seen_set": n_seen,
         "warmup_wall_sec": round(timings[0], 2),
@@ -183,7 +186,8 @@ _LEG_EST = {1: 320.0, 4: 130.0}
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-only":
         runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-        print(json.dumps(run_crawl(int(sys.argv[2]), runs=runs)))
+        bloom = len(sys.argv) > 4 and sys.argv[4] == "bloom"
+        print(json.dumps(run_crawl(int(sys.argv[2]), runs=runs, use_bloom=bloom)))
         return
 
     t0 = time.time()
