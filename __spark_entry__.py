@@ -69,11 +69,26 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _run_engine(spark, validate_images=False).result_entities()
 
     def udf_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         from scrapeulous_spark.operators.fetch import validate_payloads
         from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
 
         paths = ensure_corpus(SMOKE)
-        return validate_payloads(spark.read.parquet(paths["images"]))
+        report = validate_payloads(spark.read.parquet(paths["images"]))
+        # psnr_db itself is not SQL-twinnable (the decode runs only on
+        # the Spark side); everything else — decode success, recomputed
+        # phash, exactness flags, the >=40dB criterion — is pinned by
+        # corpus invariants the DuckDB twin asserts per row
+        return report.select(
+            "image_id",
+            "fmt",
+            "decode_ok",
+            "phash_recomputed",
+            "phash_match",
+            "pixels_allclose",
+            (F.col("psnr_db") >= 40.0).alias("psnr_ok"),
+        )
 
     def src_s3_object(spark: SparkSession, sf_dir: str) -> DataFrame:
         from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
@@ -149,7 +164,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def _engine_oracles() -> dict[str, str]:
+    """DuckDB twins for the engine-native queries. The crawl views are
+    checked against the MATERIALIZED SERIAL ORACLE (plans/oracle.py, an
+    independent plain-Python replay of social.js:34-98 — the same
+    source of truth tests/test_engine_vs_oracle.py exact-matches), so
+    the driver's rows+schema+hash compare IS the engine-vs-oracle gate.
+    src_s3_object/udf_image_decode twin directly against the corpus
+    parquet + its decode invariants (sink_screenshot stays rows-only:
+    its output IS the binary PNG encode)."""
+    from scrapeulous_spark.plans.oracle_export import ensure_oracle_parquet
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    op = ensure_oracle_parquet(SMOKE)
+    cp = ensure_corpus(SMOKE)
+    return {
+        "loop_frontier_dfs": f"SELECT * FROM read_parquet('{op['crawl_order']}')",
+        "dedup_url_seen_engine": f"SELECT url FROM read_parquet('{op['seen']}')",
+        "udaf_social_extract": f"SELECT * FROM read_parquet('{op['entities']}')",
+        "src_s3_object": (
+            "SELECT image_id, w, h, fmt, caption, phash "
+            f"FROM read_parquet('{cp['images']}')"
+        ),
+        # corpus invariant: every stored payload decodes (exactly for
+        # png; post-quantization exactly and PSNR>=40dB for qpng) and
+        # the recomputed phash equals the stored one — pinned TRUE per
+        # row, with phash_recomputed checked against the stored value
+        "udf_image_decode": (
+            "SELECT image_id, fmt, TRUE AS decode_ok, "
+            "phash AS phash_recomputed, TRUE AS phash_match, "
+            "TRUE AS pixels_allclose, TRUE AS psnr_ok "
+            f"FROM read_parquet('{cp['images']}')"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from scrapeulous_spark.operators import load_all_catalogs
 
-    return {name: q.oracle for name, q in load_all_catalogs().items() if q.oracle is not None}
+    out = {
+        name: q.oracle for name, q in load_all_catalogs().items() if q.oracle is not None
+    }
+    out.update(_engine_oracles())
+    return out

@@ -74,16 +74,59 @@ HEADLINE = [
 ]
 
 
+def _idlest_cores(n: int) -> set[int]:
+    """Pick the n least-busy allowed cores (two /proc/stat samples,
+    0.25s apart). A fixed 0..n-1 mask makes the pinned leg hostage to
+    steal on those exact vCPUs — on this VM co-tenants often pin a few
+    specific cores, so choose per-leg."""
+    allowed = sorted(os.sched_getaffinity(0))
+
+    def busy():
+        out = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    parts = line.split()
+                    cpu = int(parts[0][3:])
+                    vals = [int(x) for x in parts[1:]]
+                    idle = vals[3] + vals[4]  # idle + iowait
+                    out[cpu] = sum(vals) - idle
+        return out
+
+    b0 = busy()
+    time.sleep(0.25)
+    b1 = busy()
+    ranked = sorted(allowed, key=lambda c: b1.get(c, 0) - b0.get(c, 0))
+    return set(ranked[:n])
+
+
 def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
     """Warm-up crawl on SMOKE (caches codegen/plan-compile fixed costs,
     ~40s — at a real 10^10-URL frontier the one-time compile is noise),
     then `runs` timed BENCH crawls; report min(walls). min-of-k is the
     standard defense against transient host contention (this VM has
     noisy-neighbor days where identical back-to-back runs differ 2-3x —
-    a single sample can invert the N-vs-4N comparison)."""
+    a single sample can invert the N-vs-4N comparison).
+
+    The leg's whole process tree (JVM, python workers, GC/shuffle
+    threads) is PINNED to exactly `cpus` cores. Unpinned, the
+    "local[1]" leg measurably runs at ~1.5 cores (cgroup cpuacct:
+    370 CPU-s over a 245s wall — mapInPandas python workers and GC
+    overlap the single task thread on spare physical cores), which a
+    real pinned executor (YARN/K8s cpu limit) does not get; that
+    free ride overstates the 1-core leg and deflated the measured
+    N->4N ratio to ~0.74. Pinned, both legs are honest
+    (1-core: 317 CPU-s / 314s wall = 1.01 util; 4-core: 328 CPU-s —
+    only 3% parallel CPU inflation) and the ratio reads the engine,
+    not the artifact."""
     from scrapeulous_spark.plans.loop import CrawlEngine
     from scrapeulous_spark.session import get_spark
     from scrapeulous_spark.sources.corpus import BENCH, SMOKE, ensure_corpus
+
+    try:
+        os.sched_setaffinity(0, _idlest_cores(cpus))
+    except (AttributeError, OSError):
+        pass  # non-Linux / restricted: run unpinned
 
     paths = ensure_corpus(BENCH)
     warm_paths = ensure_corpus(SMOKE)

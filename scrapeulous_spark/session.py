@@ -56,11 +56,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     app_name: str = "scrapeulous_spark",
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """master=None -> local[cpus] (single shared JVM, threads-as-cores).
+    Pass e.g. ``local-cluster[4,1,6144]`` to run against REAL separate
+    executor JVMs (own heap/GC/python workers, shuffle over the
+    loopback) — the in-sandbox stand-in for a multi-executor cluster
+    that the N-vs-4N scaling legs use (bench.py)."""
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

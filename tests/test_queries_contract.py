@@ -51,8 +51,12 @@ def test_entry_contract(spark):
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs), "every oracle key must have a query"
     assert len(qs) >= 40
-    # engine-native entries are rows-only by design
-    assert "loop_frontier_dfs" in qs and "loop_frontier_dfs" not in oracles
+    # engine-native crawl views are hash-checked against the
+    # MATERIALIZED serial oracle (plans/oracle_export.py)
+    for name in ("loop_frontier_dfs", "dedup_url_seen_engine", "udaf_social_extract"):
+        assert name in qs and name in oracles and "read_parquet" in oracles[name]
+    # only the binary-codec outputs stay rows-only
+    assert "sink_screenshot" in qs and "sink_screenshot" not in oracles
 
     df = E.entry(spark)
     assert df.count() > 0
