@@ -128,29 +128,61 @@ def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
     except (AttributeError, OSError):
         pass  # non-Linux / restricted: run unpinned
 
+    def cgroup_cpu_s() -> float | None:
+        try:
+            return int(open("/sys/fs/cgroup/cpuacct/cpuacct.usage").read()) / 1e9
+        except OSError:
+            return None
+
     paths = ensure_corpus(BENCH)
     warm_paths = ensure_corpus(SMOKE)
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name=f"bench_crawl_{cpus}")
-    timings = []
-    for run_paths in (warm_paths,) + (paths,) * runs:
+    timings: list[float] = []
+    utils: list[float | None] = []
+    # a pinned run can PROVE it was stolen: if our cgroup consumed far
+    # less than cpus x wall, co-tenants held the pinned cores (clean
+    # pinned runs measure util 0.91-1.01). One bonus run per provably
+    # stolen sample, repinning to the then-idlest cores first.
+    STOLEN_UTIL = 0.80
+    max_extra = runs
+    run_queue = [("warm", warm_paths)] + [("timed", paths)] * runs
+    while run_queue:
+        kind, run_paths = run_queue.pop(0)
         with tempfile.TemporaryDirectory() as wh:
+            c0 = cgroup_cpu_s()
             t0 = time.time()
             eng = CrawlEngine(spark, wh, run_paths, use_bloom=use_bloom)
             eng.run()
             n_urls = eng.result_crawl_order().count()
             n_seen = eng.result_seen().count()
-            timings.append(time.time() - t0)
+            w = time.time() - t0
+            c1 = cgroup_cpu_s()
+        if kind == "warm":
+            warm_wall = w
+            continue
+        util = None if c0 is None or c1 is None else (c1 - c0) / (cpus * w)
+        timings.append(w)
+        utils.append(util)
+        if util is not None and util < STOLEN_UTIL and max_extra > 0:
+            max_extra -= 1
+            try:
+                os.sched_setaffinity(0, _idlest_cores(cpus))
+            except (AttributeError, OSError):
+                pass
+            run_queue.append(("timed", paths))
     spark.stop()
-    walls = timings[1:]
+    walls = timings
     wall = min(walls)
     return {
         "cpus": cpus,
         "use_bloom": use_bloom,
         "urls_fetched": n_urls,
         "seen_set": n_seen,
-        "warmup_wall_sec": round(timings[0], 2),
+        "warmup_wall_sec": round(warm_wall, 2),
         "wall_sec": round(wall, 2),
         "wall_sec_all_runs": [round(w, 2) for w in walls],
+        # fraction of the pinned cores OUR cgroup actually got, per run
+        "pinned_util_all_runs": [None if u is None else round(u, 3) for u in utils],
         # identical runs differing >1.5x = contended host; read with care
         "noisy_host": bool(max(walls) > 1.5 * min(walls)),
         "urls_per_sec": round(n_urls / wall, 2),
