@@ -287,10 +287,14 @@ def main():
                 walls = [w for r in per_level[n] for w in r["wall_sec_all_runs"]]
                 best = min(walls)
                 first = per_level[n][0]
+                utils = [
+                    u for r in per_level[n] for u in r.get("pinned_util_all_runs", [])
+                ]
                 crawl[f"local{n}"] = {
                     **first,
                     "wall_sec": round(best, 2),
                     "wall_sec_all_runs": [round(w, 2) for w in walls],
+                    "pinned_util_all_runs": utils,
                     "noisy_host": bool(max(walls) > 1.5 * min(walls)),
                     "urls_per_sec": round(first["urls_fetched"] / best, 2),
                 }
