@@ -368,6 +368,14 @@ def main():
         w4 = min(w for r in per_level[4] for w in r["wall_sec_all_runs"])
         return (w1 / w4) / 4.0
 
+    # Generate the BENCH corpus in the parent ONCE (idempotent, ~2 min
+    # cold) so a fresh clone doesn't pay it inside the first timed
+    # leg's subprocess and wreck that leg's wall + estimate.
+    from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus
+
+    ensure_corpus(BENCH)
+    emit()
+
     # Bounded quiet-window wait (both 1-proc AND 4-proc capacity must be
     # healthy, see _window_quiet) — but only spend waiting time the
     # budget can afford after the first interleaved pair's estimate.
