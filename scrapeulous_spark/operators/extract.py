@@ -73,6 +73,20 @@ def _email_scan():
     ).otherwise(tokenized)
 
 
+# Waves per core for the extraction scan. The stage's straggler tail
+# is ~1/PARTS_PER_CORE of its wall (a pinned local[4] /proc/stat
+# timeline showed util dropping to ~0.5 for the last ~4s of the
+# depth-1 extraction job at 4 waves — the single biggest idle block in
+# a BENCH leg); more waves shrink the tail, more tasks cost scheduler
+# overhead. A/B on the BENCH page store (pinned local[4], interleaved
+# min-of-3): 8 waves 35.06s vs 4 waves 35.85s vs no-repartition 36.84s
+# (file splits are byte-balanced, not cost-balanced, and the local
+# round-robin shuffle is nearly free — so the shuffle stays and the
+# wave count is what matters). Neutral at 1 core (no tail to shrink),
+# so the finer split directly helps the N->4N scaling ratio.
+PARTS_PER_CORE = 8
+
+
 def extract_entities_raw(pages: DataFrame) -> DataFrame:
     """pages: seed_id, page_order (0=seed page, else pop_rank), body.
     Returns seed_id, kind, page_order, match_pos, value — one row per
@@ -82,14 +96,14 @@ def extract_entities_raw(pages: DataFrame) -> DataFrame:
     6-way self-union, which would rescan the page store per family):
     build array<struct<kind, matches>> then explode twice.
 
-    The input is round-robin repartitioned to 4x core count first:
-    regex scanning is CPU-dense and per-row-variable, so the handful of
-    uneven AQE-coalesced join partitions it usually arrives in leaves
-    cores idle behind stragglers (measured 3.7x slower than an even
-    32-way split at local[8] on the bench corpus). The extra body
-    shuffle is cheap relative to the scan it balances."""
+    The input is round-robin repartitioned to PARTS_PER_CORE x core
+    count first: regex scanning is CPU-dense and per-row-variable, so
+    the handful of uneven AQE-coalesced join partitions it usually
+    arrives in leaves cores idle behind stragglers (measured 3.7x
+    slower than an even 32-way split at local[8] on the bench corpus).
+    The extra body shuffle is cheap relative to the scan it balances."""
     sc = pages.sparkSession.sparkContext
-    pages = pages.repartition(sc.defaultParallelism * 4)
+    pages = pages.repartition(sc.defaultParallelism * PARTS_PER_CORE)
 
     def one_pass(pattern: str, literals: list[str] | None, kind: str = ""):
         if kind == "email":
