@@ -1,98 +1,160 @@
-"""Per-phase wall profile of a BENCH crawl leg.
+"""Pinned-leg crawl profiler with Spark event-log attribution.
 
-Monkeypatches timers around CrawlEngine phase methods and per-table
-SnapshotTable commits, runs warm-up (SMOKE) + one timed BENCH crawl at
-local[N], and prints a sorted breakdown. Phases overlap (extraction runs
-on the FAIR-pool thread), so per-phase walls can sum past the leg wall —
-read them as "wall held open by this phase", not exclusive time.
+Runs ONE bench-shaped crawl leg (same `_idlest_cores` pinning, BENCH
+corpus, warm-then-timed structure as a `bench.py` leg) with
+`spark.eventLog` enabled, then parses the rolling zstd event log to
+attribute the wall: per-job intervals (driver no-job gaps = true
+driver-side serialization), per-job executor task time (parallelism),
+and window totals (task run / JVM CPU / GC). This is the tool behind
+BENCH.md's "event-log attribution of the 1->4 gap" table.
 
-Usage: python tools/profile_crawl.py [cpus] [runs]
+Usage: python tools/profile_crawl.py [N]        # default N=4
+
+The zstd event log is decompressed via the `zstd` CLI (no python
+zstandard module in the sandbox).
 """
 
 from __future__ import annotations
 
-import functools
+import glob
+import json
+import os
+import subprocess
 import sys
 import tempfile
 import time
-from collections import defaultdict
 
-sys.path.insert(0, "/root/repo")
-
-from scrapeulous_spark.plans.loop import CrawlEngine
-from scrapeulous_spark.session import get_spark
-from scrapeulous_spark.sources import tables
-from scrapeulous_spark.sources.corpus import BENCH, SMOKE, ensure_corpus
-
-ACC: dict[str, list[float]] = defaultdict(list)
-ENABLED = False
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+_LOG_DIR = "/tmp/sparklogs"
 
 
-def _wrap_method(cls, name, label=None):
-    orig = getattr(cls, name)
+def run_leg(cpus: int) -> tuple[float, str]:
+    """Warm on SMOKE, run the timed BENCH crawl pinned to `cpus` cores;
+    returns (timed-window start ms, applicationId)."""
+    import bench
 
-    @functools.wraps(orig)
-    def timed(self, *a, **kw):
-        t0 = time.time()
-        try:
-            return orig(self, *a, **kw)
-        finally:
-            if ENABLED:
-                key = label(self, *a, **kw) if callable(label) else (label or name)
-                ACC[key].append(time.time() - t0)
+    try:
+        os.sched_setaffinity(0, bench._idlest_cores(cpus))
+    except OSError:
+        pass
+    from scrapeulous_spark.plans.loop import CrawlEngine
+    from scrapeulous_spark.session import get_spark
+    from scrapeulous_spark.sources.corpus import BENCH, SMOKE, ensure_corpus
 
-    setattr(cls, name, timed)
-
-
-def install():
-    for m in (
-        "_superstep_seeds",
-        "_finalize",
-        "_checkpoint",
-        "_write_frontier",
-        "_update_seen",
-        "_validate_payloads",
-        "_hot_hosts",
-    ):
-        _wrap_method(CrawlEngine, m)
-    _wrap_method(
-        CrawlEngine, "_superstep_depth", lambda self, d, **kw: f"_superstep_depth[{d}]"
-    )
-    _wrap_method(
-        CrawlEngine, "_sched_for_depth", lambda self, d, **kw: f"_sched_for_depth[{d}]"
-    )
-    for m in ("append", "overwrite"):
-        _wrap_method(
-            tables.SnapshotTable, m, lambda self, *a, _m=m, **kw: f"table.{_m}:{self.name}"
-        )
-
-
-def main():
-    global ENABLED
-    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    install()
     paths = ensure_corpus(BENCH)
     warm = ensure_corpus(SMOKE)
-    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name=f"profile_{cpus}")
-    walls = []
-    for i, run_paths in enumerate((warm,) + (paths,) * runs):
-        ENABLED = i > 0
-        with tempfile.TemporaryDirectory() as wh:
-            t0 = time.time()
-            eng = CrawlEngine(spark, wh, run_paths)
-            eng.run()
-            n = eng.result_crawl_order().count()
-            eng.result_seen().count()
-            walls.append(time.time() - t0)
+    os.makedirs(_LOG_DIR, exist_ok=True)
+    spark = get_spark(
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 8),
+        app_name=f"profile_crawl_{cpus}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{_LOG_DIR}",
+        },
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        t = time.time()
+        e = CrawlEngine(spark, wh, warm)
+        e.run()
+        e.result_crawl_order().count()
+        print(f"warm wall: {time.time() - t:.1f}s", flush=True)
+
+    wh = tempfile.mkdtemp(prefix="prof_wh_")
+    t0 = time.time()
+    eng = CrawlEngine(spark, wh, paths)
+    eng.run()
+    n = eng.result_crawl_order().count()
+    wall = time.time() - t0
+    print(f"timed wall: {wall:.1f}s urls={n} urls/s={n / wall:.0f}", flush=True)
+    print(eng.metrics.read(spark).toPandas().to_string(), flush=True)
+    app_id = spark.sparkContext.applicationId
     spark.stop()
-    total = sum(walls[1:])
-    print(f"\ncpus={cpus} timed_runs={runs} urls={n} wall={total:.1f}s "
-          f"(warmup {walls[0]:.1f}s)")
-    print(f"{'phase':<34}{'calls':>6}{'total_s':>9}{'mean_s':>8}")
-    for key, vals in sorted(ACC.items(), key=lambda kv: -sum(kv[1])):
-        print(f"{key:<34}{len(vals):>6}{sum(vals):>9.2f}{sum(vals) / len(vals):>8.2f}")
+    return t0 * 1000.0, app_id
+
+
+def read_events(app_id: str):
+    d = os.path.join(_LOG_DIR, f"eventlog_v2_{app_id}")
+    parts = sorted(glob.glob(os.path.join(d, "events_*"))) or [d]
+    for p in parts:
+        if p.endswith(".zstd"):
+            out = subprocess.run(["zstd", "-d", "-c", p], capture_output=True, text=True)
+            lines = out.stdout.splitlines()
+        else:
+            lines = open(p)
+        for line in lines:
+            try:
+                yield json.loads(line)
+            except Exception:
+                continue
+
+
+def attribute(app_id: str, t0_ms: float, cpus: int) -> None:
+    jobs: dict[int, dict] = {}
+    stage_task_ms: dict[int, int] = {}
+    tot_run = tot_gc = tot_cpu = 0.0
+    for ev in read_events(app_id):
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            props = ev.get("Properties") or {}
+            jobs[ev["Job ID"]] = {
+                "sub": ev["Submission Time"],
+                "end": None,
+                "pool": props.get("spark.scheduler.pool", "default"),
+                "site": (props.get("callSite.short") or "")[:60],
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif e == "SparkListenerJobEnd" and ev["Job ID"] in jobs:
+            jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
+        elif e == "SparkListenerTaskEnd":
+            m = ev.get("Task Metrics") or {}
+            info = ev.get("Task Info") or {}
+            sid = ev["Stage ID"]
+            stage_task_ms[sid] = stage_task_ms.get(sid, 0) + m.get("Executor Run Time", 0)
+            if (info.get("Launch Time") or 0) >= t0_ms:
+                tot_run += m.get("Executor Run Time", 0)
+                tot_gc += m.get("JVM GC Time", 0)
+                tot_cpu += m.get("Executor CPU Time", 0) / 1e6
+
+    timed = {j: d for j, d in jobs.items() if d["sub"] >= t0_ms and d["end"]}
+    if not timed:
+        print("no timed jobs found")
+        return
+    ivs = sorted((d["sub"], d["end"]) for d in timed.values())
+    cov, (cs, ce) = 0, ivs[0]
+    for s, e2 in ivs[1:]:
+        if s > ce:
+            cov += ce - cs
+            cs, ce = s, e2
+        else:
+            ce = max(ce, e2)
+    cov += ce - cs
+    w0 = min(d["sub"] for d in timed.values())
+    w1 = max(d["end"] for d in timed.values())
+    wall = (w1 - w0) / 1000.0
+    print(
+        f"\nwindow {wall:.1f}s  job-covered {cov / 1000:.1f}s  "
+        f"driver-only(no-job) {(w1 - w0 - cov) / 1000:.1f}s  n_jobs={len(timed)}"
+    )
+    print(
+        f"executor task run {tot_run / 1000:.1f}s  jvm cpu {tot_cpu / 1000:.1f}s  "
+        f"gc {tot_gc / 1000:.1f}s  occupancy {(tot_run / 1000) / (cpus * wall):.3f}"
+    )
+    rows = sorted(
+        (
+            ((d["end"] - d["sub"]) / 1000.0, j, d, sum(stage_task_ms.get(s, 0) for s in d["stages"]) / 1000.0)
+            for j, d in timed.items()
+        ),
+        reverse=True,
+    )
+    print(f"{'dur_s':>7} {'task_s':>8} {'par':>5}  pool        site")
+    for dur, _j, d, tms in rows[:15]:
+        par = tms / dur if dur > 0 else 0.0
+        print(f"{dur:7.1f} {tms:8.1f} {par:5.2f}  {d['pool']:<10}  {d['site']}")
 
 
 if __name__ == "__main__":
-    main()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    t0_ms, app_id = run_leg(n)
+    attribute(app_id, t0_ms, n)
