@@ -90,11 +90,14 @@ def read_events(app_id: str):
                 continue
 
 
-def attribute(app_id: str, t0_ms: float, cpus: int) -> None:
+def attribute_events(events, t0_ms: float, cpus: int) -> dict | None:
+    """Pure attribution over an iterable of event dicts: job-interval
+    union coverage (driver no-job gaps), timed-window task totals, and
+    per-job durations/task-time. Unit-tested on synthetic events."""
     jobs: dict[int, dict] = {}
     stage_task_ms: dict[int, int] = {}
     tot_run = tot_gc = tot_cpu = 0.0
-    for ev in read_events(app_id):
+    for ev in events:
         e = ev.get("Event")
         if e == "SparkListenerJobStart":
             props = ev.get("Properties") or {}
@@ -119,8 +122,7 @@ def attribute(app_id: str, t0_ms: float, cpus: int) -> None:
 
     timed = {j: d for j, d in jobs.items() if d["sub"] >= t0_ms and d["end"]}
     if not timed:
-        print("no timed jobs found")
-        return
+        return None
     ivs = sorted((d["sub"], d["end"]) for d in timed.values())
     cov, (cs, ce) = 0, ivs[0]
     for s, e2 in ivs[1:]:
@@ -133,25 +135,48 @@ def attribute(app_id: str, t0_ms: float, cpus: int) -> None:
     w0 = min(d["sub"] for d in timed.values())
     w1 = max(d["end"] for d in timed.values())
     wall = (w1 - w0) / 1000.0
-    print(
-        f"\nwindow {wall:.1f}s  job-covered {cov / 1000:.1f}s  "
-        f"driver-only(no-job) {(w1 - w0 - cov) / 1000:.1f}s  n_jobs={len(timed)}"
-    )
-    print(
-        f"executor task run {tot_run / 1000:.1f}s  jvm cpu {tot_cpu / 1000:.1f}s  "
-        f"gc {tot_gc / 1000:.1f}s  occupancy {(tot_run / 1000) / (cpus * wall):.3f}"
-    )
     rows = sorted(
         (
-            ((d["end"] - d["sub"]) / 1000.0, j, d, sum(stage_task_ms.get(s, 0) for s in d["stages"]) / 1000.0)
-            for j, d in timed.items()
+            {
+                "dur_s": (d["end"] - d["sub"]) / 1000.0,
+                "task_s": sum(stage_task_ms.get(s, 0) for s in d["stages"]) / 1000.0,
+                "pool": d["pool"],
+                "site": d["site"],
+            }
+            for d in timed.values()
         ),
-        reverse=True,
+        key=lambda r: -r["dur_s"],
+    )
+    return {
+        "wall_s": wall,
+        "covered_s": cov / 1000.0,
+        "no_job_s": (w1 - w0 - cov) / 1000.0,
+        "n_jobs": len(timed),
+        "task_run_s": tot_run / 1000.0,
+        "jvm_cpu_s": tot_cpu / 1000.0,
+        "gc_s": tot_gc / 1000.0,
+        "occupancy": (tot_run / 1000.0) / (cpus * wall) if wall > 0 else 0.0,
+        "jobs": rows,
+    }
+
+
+def attribute(app_id: str, t0_ms: float, cpus: int) -> None:
+    r = attribute_events(read_events(app_id), t0_ms, cpus)
+    if r is None:
+        print("no timed jobs found")
+        return
+    print(
+        f"\nwindow {r['wall_s']:.1f}s  job-covered {r['covered_s']:.1f}s  "
+        f"driver-only(no-job) {r['no_job_s']:.1f}s  n_jobs={r['n_jobs']}"
+    )
+    print(
+        f"executor task run {r['task_run_s']:.1f}s  jvm cpu {r['jvm_cpu_s']:.1f}s  "
+        f"gc {r['gc_s']:.1f}s  occupancy {r['occupancy']:.3f}"
     )
     print(f"{'dur_s':>7} {'task_s':>8} {'par':>5}  pool        site")
-    for dur, _j, d, tms in rows[:15]:
-        par = tms / dur if dur > 0 else 0.0
-        print(f"{dur:7.1f} {tms:8.1f} {par:5.2f}  {d['pool']:<10}  {d['site']}")
+    for row in r["jobs"][:15]:
+        par = row["task_s"] / row["dur_s"] if row["dur_s"] > 0 else 0.0
+        print(f"{row['dur_s']:7.1f} {row['task_s']:8.1f} {par:5.2f}  {row['pool']:<10}  {row['site']}")
 
 
 if __name__ == "__main__":
