@@ -143,6 +143,61 @@ def udf_custom_crawler(spark, sf):
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backrefs, unambiguous greedy
+# matching. The email form is the classic liberal matcher; the phone
+# form is "digit, then >=5 digits/separators, then digit" (covers
+# +49-style international and (555) 123-4567 NANP shapes the corpus
+# embeds — reference families at /root/reference/custom/social.js:205-222).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9 ()./-]{5,}[0-9]"
+
+
+@register(
+    "fn_pii_scrub",
+    f"""WITH s AS (
+          SELECT url, coalesce(body, '') AS body FROM read_parquet('{_P["pages"]}')),
+        e AS (
+          SELECT url, body,
+                 len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+                 regexp_replace(body, '{_PII_EMAIL}', '[EMAIL]', 'g') AS body1
+          FROM s)
+        SELECT url,
+               CAST(n_emails AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(body1, '{_PII_PHONE}')) AS INT) AS n_phones,
+               md5(regexp_replace(body1, '{_PII_PHONE}', '[PHONE]', 'g')) AS scrubbed_md5
+        FROM e""",
+)
+def fn_pii_scrub(spark, sf):
+    """PII redaction over fetched page bodies — a first-class stage of
+    any training-data pipeline built on crawled text: emails then
+    phone-shaped digit runs replaced by typed placeholder tokens, with
+    per-kind redaction counts and a digest of the scrubbed body (the
+    digest makes the driver's value-hash cover every byte of the
+    scrubbed output). Pure JVM regexp_replace projection: narrow,
+    codegen'd, no shuffle — at 100 TB this fuses into the page scan
+    exactly like the entity extraction stage it mirrors."""
+    pages = _corpus(spark, "pages").select(
+        "url", F.coalesce("body", F.lit("")).alias("body")
+    )
+    body1 = F.regexp_replace("body", _PII_EMAIL, "[EMAIL]")
+    with_emails = pages.select(
+        "url",
+        F.size(F.regexp_extract_all("body", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        body1.alias("body1"),
+    )
+    return with_emails.select(
+        "url",
+        "n_emails",
+        F.size(F.regexp_extract_all("body1", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(F.regexp_replace("body1", _PII_PHONE, "[PHONE]")).alias("scrubbed_md5"),
+    )
+
+
 @register(
     "join_payload_oracle",
     # The decode itself can't run in DuckDB, but its EXPECTED outcome is

@@ -633,3 +633,200 @@ def text_fingerprint(spark, sf):
     return T(spark, sf, "documents").select(
         "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint")
     )
+
+
+# =====================================================================
+# Training-data curation: quality gating, deterministic sampling,
+# sessionization, embedding quantization
+# =====================================================================
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GSTOP_SQL = "', '".join(_GOPHER_STOPS)
+
+
+@register(
+    "text_gopher_quality",
+    rf"""WITH t AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  length(regexp_replace(text, '\s', '', 'g')) AS tok_chars
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(floor(1000.0 * tok_chars / len(toks)) AS BIGINT) AS mean_word_len_x1000,
+                CAST(len(list_filter(['{_GSTOP_SQL}'],
+                                     s -> list_contains(toks, s))) AS BIGINT) AS n_stop_kinds,
+                (len(toks) BETWEEN 50 AND 100000
+                 AND floor(1000.0 * tok_chars / len(toks)) BETWEEN 3000 AND 10000
+                 AND len(list_filter(['{_GSTOP_SQL}'], s -> list_contains(toks, s))) >= 2
+                ) AS admitted
+         FROM t""",
+)
+def text_gopher_quality(spark, sf):
+    """Gopher-style document quality gate (Rae et al. '21, public
+    rules): word count in [50, 100k], mean word length in [3, 10]
+    chars, and at least 2 distinct common-English stopwords present.
+    All thresholds integer-scaled (x1000) so both engines agree
+    bit-for-bit. At 100 TB this is a pure narrow projection — no
+    shuffle, filters push to the scan — which is why quality gating is
+    the FIRST stage of a real curation pipeline (cheapest cut first,
+    before any dedup exchange)."""
+    toks = F.split(F.trim("text"), r"\s+")
+    tok_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stop_kinds = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    n_words = F.size(toks)
+    mean_len = F.floor(1000.0 * tok_chars / n_words)
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.cast("bigint").alias("mean_word_len_x1000"),
+        n_stop_kinds.cast("bigint").alias("n_stop_kinds"),
+        (
+            n_words.between(50, 100000)
+            & mean_len.between(3000, 10000)
+            & (n_stop_kinds >= 2)
+        ).alias("admitted"),
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    f"""WITH r AS (
+          SELECT doc_id, source,
+                 250 + {_h32_sql("source", "rate")} % 500 AS rate_x1000
+          FROM documents)
+        SELECT doc_id, source, CAST(rate_x1000 AS BIGINT) AS rate_x1000
+        FROM r
+        WHERE {_h32_sql("doc_id::VARCHAR", "samp")} % 1000 < rate_x1000""",
+)
+def sample_stratified_hash(spark, sf):
+    """Deterministic stratified sampling: per-source keep-rate (here
+    derived from a hash of the source name, 25-75%), admission decided
+    by a salted hash of the row key — no RNG state, no global count,
+    no sort. At 100 TB this is THE sampling shape that scales: map-only
+    (zero shuffle), reproducible across reruns/partitionings, and the
+    per-stratum rates are a tiny broadcastable map. Contrast
+    df.sampleBy, whose per-task RNG seeds change results under
+    repartitioning."""
+    docs = T(spark, sf, "documents")
+    rate = (F.lit(250) + _h32(F.col("source"), "rate") % 500).alias("rate_x1000")
+    return (
+        docs.select("doc_id", "source", rate.cast("bigint").alias("rate_x1000"))
+        .filter(_h32(F.col("doc_id").cast("string"), "samp") % 1000 < F.col("rate_x1000"))
+    )
+
+
+_TOPK_PER_KEY = 5
+
+
+@register(
+    "sample_topk_per_key",
+    f"""SELECT source, doc_id, pick_rank FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {_h32_sql("doc_id::VARCHAR", "pick")}, doc_id)
+                   AS pick_rank
+          FROM documents)
+        WHERE pick_rank <= {_TOPK_PER_KEY}""",
+)
+def sample_topk_per_key(spark, sf):
+    """Exactly-k-per-stratum sampling: rank rows inside each source by
+    a salted hash of the key (uniform without replacement, ties broken
+    by doc_id) and keep the first k. One shuffle on the stratum key;
+    at scale Spark's WindowGroupLimit pushes the k-limit into the
+    partial sort so only ~k rows per (partition, key) survive to the
+    exchange — this never materializes a full per-key sort."""
+    w = Window.partitionBy("source").orderBy(
+        _h32(F.col("doc_id").cast("string"), "pick"), "doc_id"
+    )
+    return (
+        T(spark, sf, "documents")
+        .select("source", "doc_id", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= _TOPK_PER_KEY)
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "agg_event_sessionize",
+    f"""WITH brk AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM brk)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+        FROM sess GROUP BY user_id, session_seq""",
+)
+def agg_event_sessionize(spark, sf):
+    """Sessionization with a {_SESSION_GAP_MIN}-minute inactivity gap:
+    per-user break flags via lag(), running sum -> session id, then a
+    per-session rollup. ONE shuffle on user_id serves both windows and
+    the final groupBy (same partitioning reused across stages).
+    Durations are reported as millisecond DIFFERENCES so the result is
+    timezone-representation-invariant across engines. This is the
+    batch shape; the streaming twin (session windows with watermark) is
+    scrapeulous_spark/streaming/stateful.py."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = (
+        prev_ms.isNull() | (ms - prev_ms > _SESSION_GAP_MIN * 60_000)
+    ).cast("bigint")
+    sess = (
+        T(spark, sf, "events")
+        .select("user_id", "ts", "event_id", is_new.alias("is_new"), ms.alias("ms"))
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("ms") - F.min("ms")).cast("bigint").alias("duration_ms"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    f"""WITH scaled AS {_SCALED},
+        m AS (SELECT vec_id, emb,
+                     list_max(list_transform(emb, x -> abs(x))) AS maxabs
+              FROM scaled)
+        SELECT vec_id,
+               CAST(generate_subscripts(emb, 1) - 1 AS INT) AS pos,
+               CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(127.0 * unnest(emb) / maxabs) AS BIGINT)
+               END AS q
+        FROM m""",
+)
+def emb_quantize_int8(spark, sf):
+    """Max-abs int8 quantization of embeddings — the standard 4x
+    storage/bandwidth reduction before ANN indexing at scale. Inputs
+    are the integer-scaled components (engine-identical), the scale
+    factor is each vector's max |component|, and the quantized value is
+    floor(127*x/maxabs) computed in float64 (IEEE ops — identical in
+    both engines). Map-only narrow stage: no shuffle; at 10^10 vectors
+    this runs as a projection fused into the scan. Output exploded to
+    (vec_id, pos, q) rows so the driver's value-hash covers every
+    component."""
+    scaled = _scaled_spark(spark, sf)
+    maxabs = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    exploded = scaled.select(
+        "vec_id", F.col("emb"), maxabs.alias("maxabs")
+    ).select("vec_id", "maxabs", F.posexplode("emb").alias("pos", "x"))
+    q = F.when(F.col("maxabs") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(127.0 * F.col("x") / F.col("maxabs")).cast("bigint")
+    )
+    return exploded.select("vec_id", "pos", q.alias("q"))

@@ -1,0 +1,147 @@
+"""Semantics pins for the training-data-curation operators
+(pipeline.py curation section + catalog_engine.fn_pii_scrub) beyond
+the DuckDB comparator: invariants a twin-SQL bug could silently share.
+"""
+
+import hashlib
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from scrapeulous_spark.operators import load_all_catalogs
+
+    return load_all_catalogs()
+
+
+def _h32(s: str, salt: str) -> int:
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16)
+
+
+def test_gopher_rules_recomputed(spark, registry):
+    rows = registry["text_gopher_quality"].spark(spark, SF).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    assert len(rows) == len(docs)
+    for r in rows:
+        toks = re.split(r"\s+", docs[r.doc_id].strip())
+        n_stop = len(stops & set(toks))
+        mean_x1000 = 1000 * sum(len(t) for t in toks) // len(toks)
+        assert r.n_words == len(toks)
+        assert r.n_stop_kinds == n_stop
+        assert r.mean_word_len_x1000 == mean_x1000
+        assert r.admitted == (
+            50 <= len(toks) <= 100000 and 3000 <= mean_x1000 <= 10000 and n_stop >= 2
+        )
+
+
+def test_stratified_sample_exact_membership(spark, registry):
+    """Admission is a pure function of (doc_id, source) — recompute it
+    row-for-row in Python; also confirm determinism across runs."""
+    got = {
+        (r.doc_id, r.source)
+        for r in registry["sample_stratified_hash"].spark(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source").collect()
+    want = set()
+    for r in docs:
+        rate = 250 + _h32(r.source, "rate") % 500
+        if _h32(str(r.doc_id), "samp") % 1000 < rate:
+            want.add((r.doc_id, r.source))
+    assert got == want
+    again = {
+        (r.doc_id, r.source)
+        for r in registry["sample_stratified_hash"].spark(spark, SF).collect()
+    }
+    assert again == got
+
+
+def test_topk_per_key_is_exactly_k_and_uniform_by_hash(spark, registry):
+    rows = registry["sample_topk_per_key"].spark(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source").collect()
+    per_src_ids: dict[str, list[int]] = {}
+    for d in docs:
+        per_src_ids.setdefault(d.source, []).append(d.doc_id)
+    for src, picked in by_src.items():
+        ids = per_src_ids[src]
+        k = min(5, len(ids))
+        assert sorted(r.pick_rank for r in picked) == list(range(1, k + 1))
+        want = sorted(ids, key=lambda i: (_h32(str(i), "pick"), i))[:k]
+        got = [r.doc_id for r in sorted(picked, key=lambda r: r.pick_rank)]
+        assert got == want
+
+
+def test_sessionize_partitions_events_and_bounds_gaps(spark, registry):
+    sess = registry["agg_event_sessionize"].spark(spark, SF).collect()
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    # every event lands in exactly one session
+    assert sum(r.n_events for r in sess) == len(events)
+    # recompute one user's sessions serially
+    uid = events[0].user_id
+    mine = sorted(
+        ((e.ts, e.event_id) for e in events if e.user_id == uid)
+    )
+    want_sessions, cur = [], [mine[0]]
+    for prev, nxt in zip(mine, mine[1:]):
+        if (nxt[0] - prev[0]).total_seconds() > 1800:
+            want_sessions.append(cur)
+            cur = []
+        cur.append(nxt)
+    want_sessions.append(cur)
+    got = sorted(
+        ((r.session_seq, r.n_events, r.duration_ms) for r in sess if r.user_id == uid)
+    )
+    want = [
+        (i + 1, len(s), int((s[-1][0] - s[0][0]).total_seconds() * 1000))
+        for i, s in enumerate(want_sessions)
+    ]
+    # unix_millis truncates to whole ms, so durations may differ by 1ms
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) <= 1
+
+
+def test_quantize_int8_range_and_extremes(spark, registry):
+    rows = registry["emb_quantize_int8"].spark(spark, SF).collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r.q)
+    for vec_id, qs in by_vec.items():
+        assert all(-127 <= q <= 127 for q in qs)
+        if all(q == 0 for q in qs):  # all-zero vector: scale undefined
+            continue
+        # the max-|component| position must land on an int8 extreme
+        assert max(qs) == 127 or min(qs) == -127
+
+
+def test_pii_scrub_removes_all_pii_and_is_idempotent(spark, registry):
+    from scrapeulous_spark.operators.catalog_engine import _PII_EMAIL, _PII_PHONE
+
+    rows = registry["fn_pii_scrub"].spark(spark, SF).collect()
+    assert rows and any(r.n_emails > 0 for r in rows) and any(
+        r.n_phones > 0 for r in rows
+    )
+    # Rebuild the scrub in Python over the same corpus and verify the
+    # digest — and that a second scrub pass changes nothing (no PII
+    # survives one pass).
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    bodies = {
+        r.url: (r.body or "")
+        for r in spark.read.parquet(paths["pages"]).select("url", "body").collect()
+    }
+    for r in rows[:50]:
+        scrubbed = re.sub(_PII_PHONE, "[PHONE]", re.sub(_PII_EMAIL, "[EMAIL]", bodies[r.url]))
+        assert hashlib.md5(scrubbed.encode()).hexdigest() == r.scrubbed_md5
+        assert re.sub(_PII_PHONE, "[PHONE]", re.sub(_PII_EMAIL, "[EMAIL]", scrubbed)) == scrubbed
