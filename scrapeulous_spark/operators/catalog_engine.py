@@ -3,10 +3,11 @@ corpus (sources/corpus.py) rather than the TPC-H-ish testdata, because
 their semantics involve the page store, binary payloads, or
 per-partition init. DuckDB twins read THE SAME corpus parquet files via
 read_parquet (paths resolved at import, corpus generation is idempotent)
-so the driver gets full rows+schema+hash checks; only the two queries
-whose output IS the binary codec (sink_screenshot's PNG encode) stay
-rows-only. Exactness for the crawl path itself is additionally covered
-by the serial-oracle tests (tests/test_engine_vs_oracle.py).
+so the driver gets full rows+schema+hash checks — including
+sink_screenshot, whose twin reads a generator-rendered expected-bytes
+sidecar (no rows-only queries remain in this module). Exactness for the
+crawl path itself is additionally covered by the serial-oracle tests
+(tests/test_engine_vs_oracle.py).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .fetch import fetch_join
 
-from ..sources.corpus import SMOKE, ensure_corpus
+from ..sources.corpus import SMOKE, ensure_corpus, ensure_screenshot_expected
 
 # resolved (and generated if absent) at import so every oracle SQL
 # string below embeds a path that exists by the time DuckDB runs it
@@ -80,7 +81,17 @@ def src_browser_render(spark, sf):
     )
 
 
-@register("sink_screenshot", None)
+_SHOT = ensure_screenshot_expected(SMOKE)
+
+
+@register(
+    "sink_screenshot",
+    # expected bytes rendered driver-side by the corpus generator
+    # (sources/corpus.py::ensure_screenshot_expected); the query below
+    # renders the same URLs on executors — the value-hash pins the
+    # distributed mapInPandas encode byte-for-byte
+    f"SELECT url, screen_base64 FROM read_parquet('{_SHOT}')",
+)
 def sink_screenshot(spark, sf):
     """Page -> PNG screenshot bytes as base64, default
     {type:'png', fullPage:false} (custom/screenshot.js:12-32). The

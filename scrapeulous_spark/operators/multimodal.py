@@ -12,9 +12,12 @@ resize, and features are REAL; video decode is a clearly-marked STUB
 (``_decode_video``) whose Spark-side plumbing — schema, batch shape,
 partitioning — is real and tested.
 
-Registered rows-only in the operator catalog (no DuckDB twin: binary
-codecs are not SQL-expressible); invariants are unit-tested in
-tests/test_multimodal.py.
+The decode itself is not SQL-expressible, but each op's EXPECTED
+output is: the corpus generator writes an `image_expected.parquet`
+sidecar (values derived from its pixel arrays before encoding), and
+the DuckDB twins read it — so the driver's value-hash compares the
+executor-side decode->compute path against generator ground truth.
+Invariants are additionally unit-tested in tests/test_multimodal.py.
 
 Scale note: payload bytes never pass through a shuffle here — every op
 is a narrow map over the scan, so the plan at 100 TB is
@@ -149,16 +152,47 @@ def _corpus_images(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(ensure_corpus(SMOKE)["images"])
 
 
-@register("img_resize", None)
+# Expected-values sidecar (sources/corpus.py::gen_image_expected):
+# computed driver-side from the generator's pixel arrays, never through
+# the PNG bytes. The Spark ops below re-derive the same values on
+# executors by DECODING the stored payloads, so these DuckDB twins are
+# full value-hash checks of the codec round-trip + resize/feature/phash
+# math (they were rows-only before the sidecar existed).
+def _expected_path() -> str:
+    from ..sources.corpus import SMOKE, ensure_image_expected
+
+    return ensure_image_expected(SMOKE)
+
+
+_E = _expected_path()
+
+
+@register(
+    "img_resize",
+    f"""SELECT image_id, 16 AS w, 12 AS h, resized_phash AS phash
+        FROM read_parquet('{_E}')""",
+)
 def img_resize(spark, sf):
     return resize_images(_corpus_images(spark), 16, 12).drop("bytes")
 
 
-@register("img_features", None)
+@register(
+    "img_features",
+    f"""SELECT image_id, mean_r_x1000, mean_g_x1000, mean_b_x1000,
+               std_gray_x1000, phash
+        FROM read_parquet('{_E}')""",
+)
 def img_features(spark, sf):
     return image_features(_corpus_images(spark))
 
 
-@register("media_frame_sample", None)
+@register(
+    "media_frame_sample",
+    # the oracle pins the in-sandbox 1-frame stub clip semantics
+    # (_decode_video): one row per media at frame 0 / ts 0
+    f"""SELECT image_id AS media_id, 0 AS frame_idx, CAST(0 AS BIGINT) AS ts_ms,
+               w, h, frame_phash
+        FROM read_parquet('{_E}')""",
+)
 def media_frame_sample(spark, sf):
     return frame_sample(_corpus_images(spark), n_frames=4)

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codec.png import encode, quantize, png_decode
+from ..codec.png import encode, png_decode, png_encode, quantize
 from ..codec.phash import phash64
 
 MASTER_SEED = 42
@@ -149,6 +149,100 @@ def gen_images(p: CorpusParams) -> pa.Table:
             "phash": pa.array(phashes, pa.int64()),
         }
     )
+
+
+def gen_image_expected(p: CorpusParams) -> pa.Table:
+    """Driver-side expected outputs for the multimodal operators,
+    computed from the GENERATOR's pixel arrays (never through the PNG
+    bytes): per-channel means / gray std / phash of the stored pixels,
+    the phash of the 16x12 nearest-neighbor resize, and the single
+    stub-frame phash. The Spark ops re-derive all of these on
+    executors by DECODING the stored payload bytes, so a DuckDB twin
+    over this sidecar turns the three formerly rows-only multimodal
+    queries into full value-hash checks of codec round-trip + math.
+    Mirrors gen_images' fmt rule (qpng when i % 3 == 0) and
+    operators/multimodal.py's resize/feature formulas."""
+    out: dict[str, list] = {
+        k: []
+        for k in (
+            "image_id", "mean_r_x1000", "mean_g_x1000", "mean_b_x1000",
+            "std_gray_x1000", "phash", "resized_phash", "frame_phash", "w", "h",
+        )
+    }
+    for i in range(p.n_images):
+        image_id = f"img_{i:08d}"
+        pix = image_pixels(image_id, p.img_w, p.img_h)
+        stored = quantize(pix) if i % 3 == 0 else pix
+        pxf = stored.astype(np.float64)
+        means = pxf.mean(axis=(0, 1))
+        gray = pxf.mean(axis=2)
+        ys = (np.arange(12) * stored.shape[0] // 12).astype(np.int64)
+        xs = (np.arange(16) * stored.shape[1] // 16).astype(np.int64)
+        small = stored[ys][:, xs]
+        out["image_id"].append(image_id)
+        out["mean_r_x1000"].append(int(round(means[0] * 1000)))
+        out["mean_g_x1000"].append(int(round(means[1] * 1000)))
+        out["mean_b_x1000"].append(int(round(means[2] * 1000)))
+        out["std_gray_x1000"].append(int(round(gray.std() * 1000)))
+        out["phash"].append(phash64(stored))
+        out["resized_phash"].append(phash64(small))
+        out["frame_phash"].append(phash64(stored))  # 1-frame stub clip
+        out["w"].append(p.img_w)
+        out["h"].append(p.img_h)
+    return pa.table(
+        {
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "mean_r_x1000": pa.array(out["mean_r_x1000"], pa.int64()),
+            "mean_g_x1000": pa.array(out["mean_g_x1000"], pa.int64()),
+            "mean_b_x1000": pa.array(out["mean_b_x1000"], pa.int64()),
+            "std_gray_x1000": pa.array(out["std_gray_x1000"], pa.int64()),
+            "phash": pa.array(out["phash"], pa.int64()),
+            "resized_phash": pa.array(out["resized_phash"], pa.int64()),
+            "frame_phash": pa.array(out["frame_phash"], pa.int64()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+        }
+    )
+
+
+def ensure_image_expected(p: CorpusParams) -> str:
+    """Additive sidecar next to the cached corpus (does not touch the
+    main generation marker, so existing caches stay valid)."""
+    path = os.path.join(default_cache_dir(p), "image_expected.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(gen_image_expected(p), path, row_group_size=4096)
+    return path
+
+
+def ensure_screenshot_expected(p: CorpusParams) -> str:
+    """Expected sink_screenshot output per page URL, rendered
+    driver-side (base64 of the 16x12 deterministic-pixel PNG). The
+    Spark query renders the same URLs on EXECUTORS through the
+    mapInPandas path, so a DuckDB twin over this sidecar pins the
+    distributed encode byte-for-byte (zlib output is deterministic for
+    a fixed library — same interpreter on driver and executors)."""
+    import base64
+
+    path = os.path.join(default_cache_dir(p), "screenshot_expected.parquet")
+    if not os.path.exists(path):
+        pages = pq.read_table(ensure_corpus(p)["pages"], columns=["url"])
+        urls = pages["url"].to_pylist()
+        shots = [
+            base64.b64encode(png_encode(image_pixels(u, 16, 12))).decode("ascii")
+            for u in urls
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "screen_base64": pa.array(shots, pa.string()),
+                }
+            ),
+            path,
+            row_group_size=4096,
+        )
+    return path
 
 
 # -------------------------------------------------------------------- pages
