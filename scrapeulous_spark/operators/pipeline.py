@@ -776,8 +776,10 @@ def agg_event_sessionize(spark, sf):
     the final groupBy (same partitioning reused across stages).
     Durations are reported as millisecond DIFFERENCES so the result is
     timezone-representation-invariant across engines. This is the
-    batch shape; the streaming twin (session windows with watermark) is
-    scrapeulous_spark/streaming/stateful.py."""
+    batch shape; the streaming twin is
+    streaming/frontier_stream.py::stream_sessionize (session_window +
+    watermark), exact-matched against a batch session_window recompute
+    over the same events in tests/test_streaming.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev_ms = F.lag(ms).over(w)

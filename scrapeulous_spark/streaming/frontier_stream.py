@@ -87,6 +87,38 @@ def stream_fetch_rate(seed_stream: DataFrame, pages: DataFrame, window: str = "1
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the batch agg_event_sessionize operator
+    (operators/pipeline.py): gap-based session windows per key via
+    ``session_window`` + watermark. Sessions merge across micro-batches
+    in state; a session is FINALIZED (emitted, in append mode) once the
+    watermark passes its end (= last event + gap), which bounds state
+    to the still-open sessions — the property that lets this run
+    indefinitely at 10^10 events where the batch window would need the
+    full history. Late events inside the watermark re-open/merge their
+    session; later ones are dropped, exactly the documented trade."""
+    # watermarks require TIMESTAMP (parquet without isAdjustedToUTC
+    # reads as TIMESTAMP_NTZ, which EventTimeWatermark rejects)
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """Drain all available input with availableNow and return the
     collected rows from a memory sink (test/driver harness helper)."""

@@ -91,3 +91,63 @@ def test_stream_fetch_rate_windows(spark, stream_env):
     total = sum(r.n_fetches for r in rates if r.window_start.second % 10 == 0)
     n_valid = spark.read.parquet(paths["seeds"]).filter(F.col("url").startswith("http")).count()
     assert total == n_valid
+
+
+def test_stream_sessionize_matches_batch_sessions(spark):
+    """Streaming gap-sessions (session_window + watermark) must equal
+    the batch session set for every session the watermark finalizes:
+    expected = batch session_window aggregation restricted to sessions
+    ending at or before (max_ts - watermark delay)."""
+    from scrapeulous_spark.streaming.frontier_stream import stream_sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+    with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory() as ckpt:
+        # shard the events CHRONOLOGICALLY into stream files (a real
+        # stream arrives roughly in event order): a random shard would
+        # put the max timestamp in batch 1, advance the watermark to
+        # the end, and drop everything after as late data
+        tbl = pq.read_table(src)
+        order = pa.compute.sort_indices(tbl, sort_keys=[("ts", "ascending")])
+        tbl = tbl.take(order)
+        n = tbl.num_rows
+        for i in range(3):
+            pq.write_table(
+                tbl.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+                os.path.join(d, f"batch_{i}.parquet"),
+            )
+            # distinct mtimes pin the file-source delivery order
+            os.utime(os.path.join(d, f"batch_{i}.parquet"), (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        got = run_to_completion(
+            stream_sessionize(stream, gap="30 minutes", watermark="1 hour"),
+            ckpt,
+        ).collect()
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=1)
+    want = (
+        batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+        .filter(F.col("session_end") <= F.lit(cutoff))
+        .collect()
+    )
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 100  # the cutoff leaves the overwhelming majority
+
+    # cross-check the batch lag-based operator: same per-user session
+    # event-count multiset for the finalized sessions' users is implied
+    # by the equality above; here just pin that sessions are gap-valid
+    for r in got[:50]:
+        assert (r.session_end - r.session_start) >= datetime.timedelta(minutes=30)
