@@ -16,13 +16,18 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register
 from .fetch import fetch_join
 
-from ..sources.corpus import SMOKE, ensure_corpus, ensure_screenshot_expected
+from ..sources.corpus import (
+    SMOKE,
+    ensure_corpus,
+    ensure_robots_txt,
+    ensure_screenshot_expected,
+)
 
 # resolved (and generated if absent) at import so every oracle SQL
 # string below embeds a path that exists by the time DuckDB runs it
@@ -151,6 +156,108 @@ def udf_custom_crawler(spark, sf):
     pages = _corpus(spark, "pages").select("url", "title", "out_links", "body")
     return pages.mapInPandas(
         batches, schema="url string, page_title string, n_links int, body_len int"
+    )
+
+
+_RT = ensure_robots_txt(SMOKE)
+
+# robots.txt line grammar (public robots exclusion standard), RE2/Java
+# identical: case-insensitive field names, '#' comments, values to EOL
+_RX_UA = r"(?i)^user-agent:\s*(\S.*?)\s*$"
+_RX_DIR = r"(?i)^(disallow|allow|crawl-delay):\s*(\S.*?)\s*$"
+
+
+@register(
+    "src_robots_txt",
+    f"""WITH lines AS (
+          SELECT host,
+                 generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+                 trim(regexp_replace(unnest(string_split(robots_txt, chr(10))),
+                                     '#.*$', '')) AS line
+          FROM read_parquet('{_RT}')),
+        tagged AS (
+          SELECT host, pos,
+                 nullif(regexp_extract(line, '{_RX_UA}', 1), '') AS ua,
+                 lower(nullif(regexp_extract(line, '{_RX_DIR}', 1), '')) AS directive,
+                 nullif(regexp_extract(line, '{_RX_DIR}', 2), '') AS value
+          FROM lines),
+        grouped AS (
+          SELECT host, pos, ua, directive, value,
+                 sum(CASE WHEN ua IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS gid
+          FROM tagged),
+        agents AS (
+          -- the group's agent must be window-computed BEFORE the
+          -- directive filter (ua is NULL on every directive row)
+          SELECT host, pos, directive, value,
+                 max(ua) OVER (PARTITION BY host, gid) AS agent
+          FROM grouped)
+        SELECT host, agent, directive, value,
+               CASE WHEN directive = 'crawl-delay'
+                    THEN CAST(round(TRY_CAST(value AS DOUBLE) * 1000) AS BIGINT)
+               END AS delay_ms,
+               CAST(pos AS INT) AS line_no
+        FROM agents
+        WHERE directive IS NOT NULL AND agent IS NOT NULL""",
+)
+def src_robots_txt(spark, sf):
+    """Parse raw robots.txt text into per-agent directive rows — the
+    text-ingest front of the engine's robots gate (the north rule adds
+    robots enforcement; the structured rules table the CrawlEngine
+    joins against is exactly what this parser produces from fetched
+    robots.txt bodies). Grammar: '#' comments stripped, case-
+    insensitive field names, a User-agent line opens a group and its
+    directives (Disallow / Allow / Crawl-delay) attach to it; Sitemap
+    and unknown fields are ignored. Simplification vs the full RFC
+    9309: consecutive User-agent lines form separate groups (the
+    corpus generator emits single-agent groups). Pure column ops: one
+    posexplode + two windows over (host, pos) — at 10^10 hosts this
+    shuffles once on host, and each host's text is a few KB."""
+    w_run = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lines = (
+        spark.read.parquet(_RT)
+        .select(
+            "host",
+            F.posexplode(F.split("robots_txt", "\n")).alias("pos0", "raw"),
+        )
+        .select(
+            "host",
+            (F.col("pos0") + 1).alias("pos"),
+            F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+        )
+    )
+    tagged = lines.select(
+        "host",
+        "pos",
+        F.nullif(F.regexp_extract("line", _RX_UA, 1), F.lit("")).alias("ua"),
+        F.lower(F.nullif(F.regexp_extract("line", _RX_DIR, 1), F.lit(""))).alias(
+            "directive"
+        ),
+        F.nullif(F.regexp_extract("line", _RX_DIR, 2), F.lit("")).alias("value"),
+    )
+    grouped = tagged.withColumn(
+        "gid", F.sum(F.col("ua").isNotNull().cast("int")).over(w_run)
+    )
+    w_grp = Window.partitionBy("host", "gid")
+    return (
+        grouped.withColumn("agent", F.max("ua").over(w_grp))
+        .filter(F.col("directive").isNotNull() & F.col("agent").isNotNull())
+        .select(
+            "host",
+            "agent",
+            "directive",
+            "value",
+            F.when(
+                F.col("directive") == "crawl-delay",
+                F.round(F.expr("try_cast(value as double)") * 1000).cast("bigint"),
+            ).alias("delay_ms"),
+            F.col("pos").cast("int").alias("line_no"),
+        )
     )
 
 

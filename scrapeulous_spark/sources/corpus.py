@@ -245,6 +245,49 @@ def ensure_screenshot_expected(p: CorpusParams) -> str:
     return path
 
 
+def gen_robots_txt(p: CorpusParams) -> pa.Table:
+    """Raw robots.txt TEXT per host, rendered from the SAME rng stream
+    gen_robots draws its structured rules from — so parsing the text
+    must reproduce the structured table exactly (the tie
+    tests/test_robots_txt.py pins). Formatting exercises the parser:
+    comments, blank group separators, mixed-case field names, a
+    fractional Crawl-delay in seconds, and (sometimes) a second
+    user-agent group plus a Sitemap line the parser must not trip on."""
+    hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
+    texts = []
+    for h in hosts:
+        rng = _rng("robots", h)
+        d = []
+        if rng.random() < 0.5:
+            d.append(f"/p{int(rng.integers(0, 9))}")
+        if rng.random() < 0.2:
+            d.append("/admin")
+        delay_ms = int(rng.integers(0, 200))
+        lines = [f"# robots for {h}", "User-Agent: *"]
+        lines += [f"Disallow: {path}" for path in d]
+        lines.append(f"Crawl-delay: {delay_ms / 1000:.3f}")
+        # continue the same deterministic stream for the extras
+        if rng.random() < 0.4:
+            lines += ["", "user-agent: badbot", "disallow: /"]
+        if rng.random() < 0.3:
+            lines.append(f"Sitemap: http://{h}/sitemap.xml")
+        texts.append("\n".join(lines) + "\n")
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "robots_txt": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def ensure_robots_txt(p: CorpusParams) -> str:
+    path = os.path.join(default_cache_dir(p), "robots_txt.parquet")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(gen_robots_txt(p), path)
+    return path
+
+
 # -------------------------------------------------------------------- pages
 
 
