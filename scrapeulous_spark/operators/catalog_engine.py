@@ -261,6 +261,81 @@ def src_robots_txt(spark, sf):
     )
 
 
+# RFC 9309 demo rule set: overlapping allow/disallow prefixes so the
+# longest-match + allow-wins-tie semantics are actually exercised
+# (the corpus' own robots tables carry only disallows, where longest-
+# match degenerates to "any prefix hit" — the engine's fast path)
+_ROBOTS_RULES = [
+    ("allow", "/p1"),
+    ("disallow", "/p"),
+    ("disallow", "/admin"),
+    ("allow", "/"),
+]
+_RULES_SQL = ", ".join(f"('{d}', '{pth}')" for d, pth in _ROBOTS_RULES)
+
+
+@register(
+    "filt_robots_allow",
+    f"""WITH rules(directive, rule_path) AS (VALUES {_RULES_SQL}),
+        urls AS (
+          SELECT url, regexp_replace(url, '^https?://[^/]*', '') AS path
+          FROM read_parquet('{_P["pages"]}')),
+        matched AS (
+          SELECT u.url, u.path, r.directive, r.rule_path,
+                 row_number() OVER (
+                   PARTITION BY u.url
+                   ORDER BY length(r.rule_path) DESC, r.directive ASC) AS rn
+          FROM urls u JOIN rules r
+            ON substr(u.path, 1, length(r.rule_path)) = r.rule_path)
+        SELECT u.url,
+               m.rule_path AS matched_rule,
+               coalesce(m.directive, 'allow') AS directive,
+               coalesce(m.directive, 'allow') = 'allow' AS allowed
+        FROM urls u LEFT JOIN matched m ON u.url = m.url AND m.rn = 1""",
+)
+def filt_robots_allow(spark, sf):
+    """Full RFC 9309 robots decision per URL: among the rules whose
+    path is a prefix of the URL path, the LONGEST wins; on a length
+    tie, allow beats disallow; no match means allowed. (The engine's
+    in-crawl gate, operators/frontier.py::expand_candidates, uses the
+    degenerate disallow-only fast path; this operator is the general
+    decision for rule sets with Allow lines, e.g. parsed from
+    src_robots_txt.) Plan shape at scale: the rules dim is tiny and
+    BROADCAST; the prefix match is a broadcast nested-loop join (a
+    non-equi theta join — unavoidable for prefix semantics) followed
+    by a per-url top-1 window, so the big side streams once and never
+    shuffles for the join itself."""
+    rules = spark.createDataFrame(_ROBOTS_RULES, "directive string, rule_path string")
+    urls = _corpus(spark, "pages").select(
+        "url", F.regexp_replace("url", "^https?://[^/]*", "").alias("path")
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        F.col("path").startswith(F.col("rule_path")),
+        "inner",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("url").orderBy(
+                F.length("rule_path").desc(), F.col("directive").asc()
+            )
+        ),
+    )
+    best = matched.filter(F.col("rn") == 1).select(
+        "url", F.col("rule_path").alias("matched_rule"), "directive"
+    )
+    return (
+        urls.select("url")
+        .join(best, "url", "left")
+        .select(
+            "url",
+            "matched_rule",
+            F.coalesce("directive", F.lit("allow")).alias("directive"),
+            (F.coalesce("directive", F.lit("allow")) == "allow").alias("allowed"),
+        )
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark)
 # and RE2 (DuckDB): no lookaround, no backrefs, unambiguous greedy
 # matching. The email form is the classic liberal matcher; the phone

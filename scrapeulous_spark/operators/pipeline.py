@@ -670,7 +670,11 @@ def text_gopher_quality(spark, sf):
     bit-for-bit. At 100 TB this is a pure narrow projection — no
     shuffle, filters push to the scan — which is why quality gating is
     the FIRST stage of a real curation pipeline (cheapest cut first,
-    before any dedup exchange)."""
+    before any dedup exchange). Note: the synthetic corpus vocabulary
+    contains only 'the' of this canonical stop list, so `admitted` is
+    false throughout here — the per-rule FLAGS are what the oracle and
+    tests/test_curation.py verify; pipeline_curation_e2e uses a
+    corpus-calibrated stop set so its gate actually splits."""
     toks = F.split(F.trim("text"), r"\s+")
     tok_chars = F.length(F.regexp_replace("text", r"\s", ""))
     stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
@@ -798,6 +802,76 @@ def agg_event_sessionize(spark, sf):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.max("ms") - F.min("ms")).cast("bigint").alias("duration_ms"),
     )
+
+
+# stop set calibrated to the synthetic corpus vocabulary (only 'the'
+# and 'a' of the canonical Gopher stops occur in it): the e2e gate must
+# actually SPLIT the corpus (317/500 here) so the downstream stages see
+# a non-trivial survivor set — text_gopher_quality above keeps the
+# canonical published stop list for rule fidelity
+_E2E_STOPS = ["the", "a"]
+_E2E_STOP_SQL = "', '".join(_E2E_STOPS)
+
+
+@register(
+    "pipeline_curation_e2e",
+    rf"""WITH gate AS (
+           SELECT doc_id, text, source,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  length(regexp_replace(text, '\s', '', 'g')) AS tok_chars
+           FROM documents),
+        kept AS (
+          SELECT doc_id, text, source FROM gate
+          WHERE len(toks) BETWEEN 50 AND 100000
+            AND floor(1000.0 * tok_chars / len(toks)) BETWEEN 3000 AND 10000
+            AND len(list_filter(['{_E2E_STOP_SQL}'], s -> list_contains(toks, s))) >= 2),
+        rep AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          FROM kept GROUP BY md5(text)),
+        uniq AS (
+          SELECT r.doc_id, r.n_copies, k.source
+          FROM rep r JOIN kept k ON r.doc_id = k.doc_id)
+        SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+        FROM uniq
+        WHERE {_h32_sql("doc_id::VARCHAR", "samp")} % 1000
+              < 250 + {_h32_sql("source", "rate")} % 500""",
+)
+def pipeline_curation_e2e(spark, sf):
+    """The three curation stages COMPOSED the way a real 100 TB corpus
+    run stages them, cheapest cut first: (1) Gopher quality gate — a
+    narrow projection fused into the scan, no shuffle, drops junk
+    before anything pays to move it; (2) exact dedup — the only
+    exchange, and it shuffles (hash, id) pairs, never text; (3)
+    deterministic stratified sampling — map-only on the surviving
+    representatives. Output: one row per kept representative with its
+    duplicate count. The stage order is the optimization: gating after
+    the dedup exchange would shuffle the very documents the gate
+    exists to discard."""
+    docs = T(spark, sf, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    tok_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    stop_arr = F.array(*[F.lit(s) for s in _E2E_STOPS])
+    # distinct stop KINDS present (filter the stop list against the
+    # tokens, not the tokens against the stop list — the latter counts
+    # occurrences)
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(toks, s)))
+    mean_len = F.floor(1000.0 * tok_chars / F.size(toks))
+    kept = docs.filter(
+        F.size(toks).between(50, 100000)
+        & mean_len.between(3000, 10000)
+        & (n_stop >= 2)
+    ).select("doc_id", "text", "source")
+    rep = (
+        kept.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("h")
+    )
+    uniq = rep.join(kept.select("doc_id", "source"), "doc_id")
+    rate = F.lit(250) + _h32(F.col("source"), "rate") % 500
+    return uniq.filter(
+        _h32(F.col("doc_id").cast("string"), "samp") % 1000 < rate
+    ).select("doc_id", "source", F.col("n_copies").cast("bigint").alias("n_copies"))
 
 
 @register(

@@ -145,3 +145,51 @@ def test_pii_scrub_removes_all_pii_and_is_idempotent(spark, registry):
         scrubbed = re.sub(_PII_PHONE, "[PHONE]", re.sub(_PII_EMAIL, "[EMAIL]", bodies[r.url]))
         assert hashlib.md5(scrubbed.encode()).hexdigest() == r.scrubbed_md5
         assert re.sub(_PII_PHONE, "[PHONE]", re.sub(_PII_EMAIL, "[EMAIL]", scrubbed)) == scrubbed
+
+
+def test_robots_allow_longest_match(spark, registry):
+    """Corpus URLs are all /pN: allow /p1 (len 3) beats disallow /p
+    (len 2) for /p1* paths; everything else /p* is disallowed."""
+    rows = registry["filt_robots_allow"].spark(spark, "unused").collect()
+    assert rows
+    for r in rows:
+        path = r.url.split(".com", 1)[1]
+        expect_allowed = path.startswith("/p1")
+        assert r.allowed == expect_allowed, r
+        assert r.matched_rule == ("/p1" if expect_allowed else "/p")
+
+
+def test_curation_pipeline_stages_compose(spark, registry):
+    rows = registry["pipeline_curation_e2e"].spark(spark, SF).collect()
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert rows
+    seen_texts = {}
+    for r in rows:
+        d = docs[r.doc_id]
+        toks = re.split(r"\s+", d.text.strip())
+        # stage 1: every survivor passed the calibrated gate
+        assert 50 <= len(toks) <= 100000
+        kinds = len({"the", "a"} & set(toks))
+        assert kinds >= 2
+        # stage 3: every survivor passed the hash sample for its source
+        rate = 250 + _h32(d.source, "rate") % 500
+        assert _h32(str(r.doc_id), "samp") % 1000 < rate
+        # stage 2: representatives are unique per text
+        assert d.text not in seen_texts
+        seen_texts[d.text] = r.doc_id
+        assert r.n_copies >= 1
+    # representative = min doc_id of its duplicate group among gated docs
+    gated = [
+        d for d in docs.values()
+        if 50 <= len(re.split(r"\s+", d.text.strip())) <= 100000
+        and len({"the", "a"} & set(re.split(r"\s+", d.text.strip()))) >= 2
+    ]
+    by_text = {}
+    for d in gated:
+        by_text.setdefault(d.text, []).append(d.doc_id)
+    for r in rows:
+        group = by_text[docs[r.doc_id].text]
+        assert r.doc_id == min(group) and r.n_copies == len(group)
