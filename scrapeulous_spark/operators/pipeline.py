@@ -826,13 +826,12 @@ _E2E_STOP_SQL = "', '".join(_E2E_STOPS)
             AND floor(1000.0 * tok_chars / len(toks)) BETWEEN 3000 AND 10000
             AND len(list_filter(['{_E2E_STOP_SQL}'], s -> list_contains(toks, s))) >= 2),
         rep AS (
-          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-          FROM kept GROUP BY md5(text)),
-        uniq AS (
-          SELECT r.doc_id, r.n_copies, k.source
-          FROM rep r JOIN kept k ON r.doc_id = k.doc_id)
+          SELECT min(doc_id) AS doc_id,
+                 arg_min(source, doc_id) AS source,
+                 count(*) AS n_copies
+          FROM kept GROUP BY md5(text))
         SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
-        FROM uniq
+        FROM rep
         WHERE {_h32_sql("doc_id::VARCHAR", "samp")} % 1000
               < 250 + {_h32_sql("source", "rate")} % 500""",
 )
@@ -861,15 +860,22 @@ def pipeline_curation_e2e(spark, sf):
         & mean_len.between(3000, 10000)
         & (n_stop >= 2)
     ).select("doc_id", "text", "source")
+    # the representative's source rides THROUGH the dedup aggregate
+    # (min_by) instead of a rejoin against kept — at scale that rejoin
+    # would be a second full shuffle of the survivor set just to
+    # recover one column
     rep = (
-        kept.select(F.md5("text").alias("h"), "doc_id")
+        kept.select(F.md5("text").alias("h"), "doc_id", "source")
         .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
         .drop("h")
     )
-    uniq = rep.join(kept.select("doc_id", "source"), "doc_id")
     rate = F.lit(250) + _h32(F.col("source"), "rate") % 500
-    return uniq.filter(
+    return rep.filter(
         _h32(F.col("doc_id").cast("string"), "samp") % 1000 < rate
     ).select("doc_id", "source", F.col("n_copies").cast("bigint").alias("n_copies"))
 

@@ -139,3 +139,44 @@ def test_extraction_plan_jvm_side_with_guards(spark):
     # expression tree instead)
     assert "CASE WHEN" in plan and "Contains" in plan
     assert "regexp_extract_all" in plan
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from scrapeulous_spark.operators import load_all_catalogs
+
+    return load_all_catalogs()
+
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_map_only_curation_ops_have_no_exchange(spark, registry):
+    """sample_stratified_hash and emb_quantize_int8 claim map-only
+    plans (the property that makes them viable at 10^10 rows): no
+    shuffle exchange may appear anywhere in either plan."""
+    for name in ("sample_stratified_hash", "emb_quantize_int8"):
+        plan = _plan(registry[name].spark(spark, _SF))
+        assert "Exchange" not in plan, name
+
+
+def test_topk_per_key_uses_window_group_limit(spark, registry):
+    """The k-per-stratum pick must plan with WindowGroupLimit so only
+    ~k rows per (partition, key) survive to the exchange — a full
+    per-key sort materialization would be the scale bug."""
+    plan = _plan(registry["sample_topk_per_key"].spark(spark, _SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_curation_pipeline_single_exchange(spark, registry):
+    """pipeline_curation_e2e: the dedup groupBy is the ONLY shuffle —
+    the gate is scan-fused before it and the sample filter is map-side
+    after it (the source column rides through the aggregate via
+    min_by, not a rejoin)."""
+    import re
+
+    plan = _plan(registry["pipeline_curation_e2e"].spark(spark, _SF))
+    # formatted explain prints each node in the tree AND a detail
+    # section — count the numbered detail headers
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan

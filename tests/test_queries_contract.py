@@ -55,8 +55,10 @@ def test_entry_contract(spark):
     # MATERIALIZED serial oracle (plans/oracle_export.py)
     for name in ("loop_frontier_dfs", "dedup_url_seen_engine", "udaf_social_extract"):
         assert name in qs and name in oracles and "read_parquet" in oracles[name]
-    # only the binary-codec outputs stay rows-only
-    assert "sink_screenshot" in qs and "sink_screenshot" not in oracles
+    # since the expected-value sidecars (sources/corpus.py), EVERY
+    # query has an oracle — the binary-codec outputs twin against
+    # generator-side expected parquet instead of staying rows-only
+    assert set(qs) == set(oracles)
 
     df = E.entry(spark)
     assert df.count() > 0
