@@ -71,6 +71,8 @@ HEADLINE = [
     "sim_embedding_neardup",
     "text_fingerprint",
     "text_quality_score",
+    "agg_event_sessionize",
+    "pipeline_curation_e2e",
 ]
 
 
