@@ -261,6 +261,91 @@ def src_robots_txt(spark, sf):
     )
 
 
+@register(
+    "fn_url_canonicalize",
+    f"""WITH decorated AS (
+          SELECT url,
+                 CASE CAST(('0x' || substr(md5('dec:' || url), 1, 8)) AS BIGINT) % 3
+                   WHEN 0 THEN url || '?utm_source=x&b=2&a=1#frag'
+                   WHEN 1 THEN url || '?gclid=g&z=9&utm_campaign=c'
+                   ELSE url || '#s1'
+                 END AS raw
+          FROM read_parquet('{_P["pages"]}')),
+        split1 AS (
+          SELECT url, raw,
+                 regexp_replace(raw, '#.*$', '') AS no_frag
+          FROM decorated),
+        parts AS (
+          SELECT url, raw,
+                 string_split(no_frag, '?')[1] AS base,
+                 CASE WHEN len(string_split(no_frag, '?')) > 1
+                      THEN string_split(no_frag, '?')[2] END AS query
+          FROM split1),
+        cleaned AS (
+          SELECT url, raw, base,
+                 list_sort(list_filter(string_split(coalesce(query, ''), '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'gclid=')
+                        AND NOT starts_with(p, 'fbclid='))) AS params
+          FROM parts)
+        SELECT url, raw,
+               base || CASE WHEN len(params) > 0
+                            THEN '?' || array_to_string(params, '&')
+                            ELSE '' END AS canonical
+        FROM cleaned""",
+)
+def fn_url_canonicalize(spark, sf):
+    """URL canonicalization for crawl dedup: strip the fragment, drop
+    tracking parameters (utm_*, gclid, fbclid), and SORT the surviving
+    query parameters so parameter order never splits a URL's identity
+    in the seen-set. (The engine's in-crawl normalizer does the
+    fragment strip the reference does — social.js:121-123; this is the
+    fuller normalizer a production frontier runs before hashing into
+    the Bloom/seen path.) Deterministic decorated inputs are built from
+    the page URLs so the param logic is actually exercised — the
+    corpus' own links carry no query strings. Narrow projection, no
+    shuffle."""
+    pages = _corpus(spark, "pages").select("url")
+    raw = (
+        F.when(
+            _h32dec(F.col("url")) % 3 == 0,
+            F.concat(F.col("url"), F.lit("?utm_source=x&b=2&a=1#frag")),
+        )
+        .when(
+            _h32dec(F.col("url")) % 3 == 1,
+            F.concat(F.col("url"), F.lit("?gclid=g&z=9&utm_campaign=c")),
+        )
+        .otherwise(F.concat(F.col("url"), F.lit("#s1")))
+    )
+    d = pages.select("url", raw.alias("raw"))
+    no_frag = F.regexp_replace("raw", "#.*$", "")
+    segs = F.split(no_frag, r"\?", 2)
+    base = F.element_at(segs, 1)
+    query = F.when(F.size(segs) > 1, F.element_at(segs, 2))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    canonical = F.concat(
+        base,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("url", "raw", canonical.alias("canonical"))
+
+
+def _h32dec(col):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("dec:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 # RFC 9309 demo rule set: overlapping allow/disallow prefixes so the
 # longest-match + allow-wins-tie semantics are actually exercised
 # (the corpus' own robots tables carry only disallows, where longest-

@@ -193,3 +193,28 @@ def test_curation_pipeline_stages_compose(spark, registry):
     for r in rows:
         group = by_text[docs[r.doc_id].text]
         assert r.doc_id == min(group) and r.n_copies == len(group)
+
+
+def test_url_canonicalize_semantics(spark, registry):
+    rows = registry["fn_url_canonicalize"].spark(spark, "unused").collect()
+    assert rows
+    for r in rows:
+        # fragment gone, tracking params gone, params sorted
+        assert "#" not in r.canonical
+        assert "utm_" not in r.canonical and "gclid=" not in r.canonical
+        if "?" in r.canonical:
+            ps = r.canonical.split("?", 1)[1].split("&")
+            assert ps == sorted(ps) and all(p for p in ps)
+        # the base url survives as the canonical prefix
+        assert r.canonical.startswith(r.url.split("#")[0].split("?")[0])
+    # the three decoration families produce the expected canonicals
+    by_suffix = {r.raw.split(r.url, 1)[1]: r for r in rows}
+    a = by_suffix.get("?utm_source=x&b=2&a=1#frag")
+    if a:
+        assert a.canonical == a.url + "?a=1&b=2"
+    g = by_suffix.get("?gclid=g&z=9&utm_campaign=c")
+    if g:
+        assert g.canonical == g.url + "?z=9"
+    f = by_suffix.get("#s1")
+    if f:
+        assert f.canonical == f.url
