@@ -195,11 +195,17 @@ def custom(
         pages = spark.read.parquet(ensure_corpus(SMOKE)["pages"])
     fetched = fetch_join(_items_df(spark, items, "url"), pages)
 
+    import inspect
+
+    try:
+        takes_options = len(inspect.signature(crawler).parameters) >= 1
+    except (TypeError, ValueError):  # builtins / odd callables
+        takes_options = False
+
     def make():
-        try:
-            return crawler(o)  # class accepting options
-        except TypeError:
-            return crawler()  # plain class / factory
+        # decided by signature, not try/except — a TypeError raised
+        # INSIDE a user __init__ must surface, not silently retry
+        return crawler(o) if takes_options else crawler()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         inst = make()  # per-partition init (one "browser" per worker)
