@@ -105,3 +105,45 @@ def resolve_col(link: Column, seed_origin: Column) -> Column:
 
 def normalize_col(url: Column) -> Column:
     return F.replace(url, F.lit("#"), F.lit(""))
+
+
+_TRACKING_PREFIXES = ("utm_", "gclid=", "fbclid=")
+
+
+def canonicalize(url: str) -> str:
+    """Python twin of :func:`canonicalize_col` (oracle/property tests):
+    strip the fragment, drop tracking params (utm_*, gclid, fbclid),
+    sort the survivors — so parameter order never splits a URL's
+    identity in the seen set."""
+    no_frag = url.split("#", 1)[0]
+    base, _, query = no_frag.partition("?")
+    params = sorted(
+        p
+        for p in query.split("&")
+        if p and not any(p.startswith(t) for t in _TRACKING_PREFIXES)
+    )
+    return base + ("?" + "&".join(params) if params else "")
+
+
+def canonicalize_col(raw: Column) -> Column:
+    """Column twin of :func:`canonicalize` — a narrow projection (no
+    shuffle), run before hashing into the frontier/seen path."""
+    no_frag = F.regexp_replace(raw, "#.*$", "")
+    segs = F.split(no_frag, r"\?", 2)
+    base = F.element_at(segs, 1)
+    query = F.when(F.size(segs) > 1, F.element_at(segs, 2))
+    keep = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    return F.concat(
+        base,
+        F.when(F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))).otherwise(
+            F.lit("")
+        ),
+    )

@@ -317,27 +317,10 @@ def fn_url_canonicalize(spark, sf):
         )
         .otherwise(F.concat(F.col("url"), F.lit("#s1")))
     )
+    from ..functions.urls import canonicalize_col
+
     d = pages.select("url", raw.alias("raw"))
-    no_frag = F.regexp_replace("raw", "#.*$", "")
-    segs = F.split(no_frag, r"\?", 2)
-    base = F.element_at(segs, 1)
-    query = F.when(F.size(segs) > 1, F.element_at(segs, 2))
-    params = F.array_sort(
-        F.filter(
-            F.split(F.coalesce(query, F.lit("")), "&"),
-            lambda p: (p != "")
-            & ~p.startswith("utm_")
-            & ~p.startswith("gclid=")
-            & ~p.startswith("fbclid="),
-        )
-    )
-    canonical = F.concat(
-        base,
-        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
-            F.lit("")
-        ),
-    )
-    return d.select("url", "raw", canonical.alias("canonical"))
+    return d.select("url", "raw", canonicalize_col(F.col("raw")).alias("canonical"))
 
 
 def _h32dec(col):

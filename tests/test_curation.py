@@ -218,3 +218,32 @@ def test_url_canonicalize_semantics(spark, registry):
     f = by_suffix.get("#s1")
     if f:
         assert f.canonical == f.url
+
+
+def test_canonicalize_col_matches_python_twin(spark):
+    """Column twin == python twin on a deterministic hypothesis-shaped
+    URL sample (one Spark job for the whole batch)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scrapeulous_spark.functions.urls import canonicalize, canonicalize_col
+
+    rng = random.Random(42)
+    pools = ["a=1", "b=2", "z=", "utm_source=x", "gclid=g", "fbclid=f", "q=r"]
+    urls = []
+    for i in range(300):
+        ps = rng.sample(pools, rng.randint(0, len(pools)))
+        u = (
+            f"http://h{i % 7}.example.com/p{i}"
+            + ("?" + "&".join(ps) if ps else "")
+            + ("#frag" if rng.random() < 0.4 else "")
+        )
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    got = {
+        r.raw: r.canon
+        for r in df.select("raw", canonicalize_col(F.col("raw")).alias("canon")).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize(u), u

@@ -328,3 +328,50 @@ def test_twitter_not_token_scannable():
         for m in re.finditer(pat, t)
     ]
     assert tokenized != full  # the token scan would LOSE this match
+
+
+# ---------------------------------------------------------------- canonicalize
+
+_param = st.text(
+    alphabet="abcdefguz0123456789_=", min_size=1, max_size=8
+).filter(lambda p: p != "")
+_params = st.lists(
+    st.one_of(_param, st.sampled_from(["utm_source=x", "utm_c=1", "gclid=g", "fbclid=f"])),
+    max_size=6,
+)
+_urls = st.builds(
+    lambda host, path, params, frag: (
+        f"http://{host}.example.com/{path}"
+        + ("?" + "&".join(params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    st.text(alphabet="hij01", min_size=1, max_size=4),
+    st.text(alphabet="pq59", max_size=6),
+    _params,
+    st.text(alphabet="sfr2", max_size=4),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls)
+def test_canonicalize_idempotent_and_clean(u):
+    from scrapeulous_spark.functions.urls import canonicalize
+
+    c = canonicalize(u)
+    assert canonicalize(c) == c  # fixed point
+    assert "#" not in c
+    assert "utm_" not in c and "gclid=" not in c and "fbclid=" not in c
+    if "?" in c:
+        ps = c.split("?", 1)[1].split("&")
+        assert ps == sorted(ps) and all(ps)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_params.filter(lambda ps: len(ps) > 1))
+def test_canonicalize_param_order_invariant(ps):
+    from scrapeulous_spark.functions.urls import canonicalize
+
+    base = "http://h.example.com/p"
+    a = canonicalize(base + "?" + "&".join(ps))
+    b = canonicalize(base + "?" + "&".join(reversed(ps)))
+    assert a == b
