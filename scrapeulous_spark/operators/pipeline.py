@@ -304,6 +304,142 @@ def dedup_ngram_jaccard(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------
+# Connected-components clustering over the candidate-pair graph — the
+# standard FINAL stage of a minhash dedup pipeline (pairs alone don't
+# say which docs to drop; transitive closure does: A~B, B~C => one
+# cluster {A,B,C}, keep one representative).
+# ---------------------------------------------------------------------
+
+_PAIRS_SQL = f"""sig AS ({_sig_sql()}),
+        buckets AS (
+          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE})),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+        cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)"""
+
+_CC_MAX_ROUNDS = 64  # labels strictly decrease; pointer jumping halves
+# chains per round, so 64 covers any graph that fits in an int64 space
+
+
+@register(
+    "dedup_cluster_cc",
+    f"WITH RECURSIVE {_PAIRS_SQL} SELECT doc_id, cluster_id FROM cc",
+)
+def dedup_cluster_cc(spark, sf):
+    """Connected components over the LSH candidate-pair graph:
+    cluster_id = min doc_id reachable through near-dup pairs. Iterative
+    min-label propagation with pointer jumping (label(u) <- min(label,
+    neighbors' labels, label(label)) — the two-phase-star family of
+    MapReduce CC algorithms, Kiveris et al. SOCC'14), which converges
+    in O(log longest-chain) rounds rather than O(diameter).
+
+    Scale shape: the edge list is materialized ONCE (localCheckpoint;
+    on a cluster this would be a parquet/Iceberg intermediate) and
+    every round shuffles only (node, label) pairs — O(V+E) rows of two
+    bigints per round, log rounds, independent of document payloads.
+    Each round's result is checkpointed to truncate lineage (iterative
+    plans otherwise grow exponentially and re-execute the whole
+    history), and convergence is a limit(1).count() existence probe,
+    not a full-table compare. Near-dup graphs are almost all tiny
+    components, so the label table stops changing after 2-3 rounds in
+    practice; the 64-round cap is a safety rail, not a tuning knob.
+
+    The DuckDB twin is the same transitive closure as a recursive CTE
+    — tractable at oracle scale (sf<=0.1), where Spark's iterative
+    form is the one that survives 100 TB."""
+    from .catalog import REGISTRY
+
+    pairs = REGISTRY["dedup_lsh_pairs"].spark(spark, sf)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .localCheckpoint()
+    )
+    lab = edges.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
+    for _round in range(_CC_MAX_ROUNDS):
+        nbr = (
+            edges.join(lab.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        prop = (
+            lab.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.col("lbl").alias("old"),
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("mid"),
+            )
+            .localCheckpoint()  # self-joined next; don't compute twice
+        )
+        hop = prop.select(F.col("u").alias("lu"), F.col("mid").alias("hop_lbl"))
+        nxt = (
+            prop.join(hop, prop["mid"] == hop["lu"], "left")
+            .select(
+                "u", "old", F.least("mid", F.coalesce("hop_lbl", "mid")).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.filter(F.col("lbl") < F.col("old")).limit(1).count()
+        lab = nxt.select("u", "lbl")
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 64 rounds bounds any physical graph
+        raise RuntimeError("dedup_cluster_cc did not converge in 64 rounds")
+    return lab.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "dedup_cluster_canonical",
+    f"""WITH RECURSIVE {_PAIRS_SQL}
+        SELECT d.doc_id,
+               coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+               (row_number() OVER (
+                  PARTITION BY coalesce(cc.cluster_id, d.doc_id)
+                  ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_kept
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""",
+)
+def dedup_cluster_canonical(spark, sf):
+    """Representative selection: every document gets its component's
+    cluster_id (its own id when it has no near-dup pair), and exactly
+    one doc per cluster is kept — the longest (n_chars DESC), ties to
+    the smallest doc_id. This is the decision a curation pipeline
+    actually ships: drop all but one of each near-dup family.
+
+    Scale shape: the cluster map is (doc_id, cluster_id) — two bigints
+    per duplicated doc, tiny next to the corpus — joined on doc_id (a
+    plain shuffle equi-join; at 100 TB both sides are bucketable on
+    doc_id so the exchange is avoidable). The keep-window partitions
+    by cluster_id; near-dup clusters are small by construction, so no
+    skewed window partition. Payload columns stay out of the plan —
+    only (doc_id, n_chars) flows through the window."""
+    from .catalog import REGISTRY
+
+    cc = REGISTRY["dedup_cluster_cc"].spark(spark, sf)
+    docs = T(spark, sf, "documents").select("doc_id", "n_chars")
+    joined = docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

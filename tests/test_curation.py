@@ -247,3 +247,57 @@ def test_canonicalize_col_matches_python_twin(spark):
     }
     for u in urls:
         assert got[u] == canonicalize(u), u
+
+
+def test_cluster_cc_matches_union_find(spark, registry):
+    """Transitive-closure labels == an independent Python union-find
+    over the SAME candidate pairs (the Spark side is iterative label
+    propagation; a bug there — e.g. stopping one round early — would
+    split a chained component, which union-find catches exactly)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in registry["dedup_lsh_pairs"].spark(spark, SF).collect()
+    ]
+    assert pairs, "sf0.001 corpus must produce candidate pairs"
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in registry["dedup_cluster_cc"].spark(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_cluster_canonical_one_keeper_per_cluster(spark, registry):
+    """Exactly one kept doc per cluster, the keeper maximizes
+    (n_chars, -doc_id), every document appears exactly once, and
+    singleton docs keep themselves."""
+    rows = registry["dedup_cluster_canonical"].spark(spark, SF).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert sorted(r.doc_id for r in rows) == sorted(docs)
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.is_kept]
+        assert len(keepers) == 1, cid
+        best = min(members, key=lambda r: (-docs[r.doc_id], r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
+        if len(members) == 1:
+            assert members[0].doc_id == cid or members[0].is_kept
