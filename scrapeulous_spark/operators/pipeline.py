@@ -651,6 +651,18 @@ def sim_ann_ivf(spark, sf):
     + a per-vector top-1 window — O(n·k) with no pair shuffle. At 10^10
     rows the cell id becomes the storage partition key so a probe is a
     partition-pruned scan."""
+    assign = _ivf_assign(spark, sf)
+    return assign.filter("rn = 1").select(
+        "vec_id", "cell", F.col("dot").alias("cell_affinity")
+    )
+
+
+def _ivf_assign(spark, sf):
+    """(vec_id, cell, dot, rn) for every vector x centroid, rn ranking
+    cells per vector by affinity — shared by assignment (rn=1) and the
+    probed search (query keeps rn<=nprobe). Centroids are a tiny
+    broadcast dim table built from the same md5 formula the oracle
+    uses."""
     scaled = _scaled_spark(spark, sf)
     dim = 64
     cents = spark.range(_IVF_CELLS).select(
@@ -670,12 +682,94 @@ def sim_ann_ivf(spark, sf):
     pairs = scaled.crossJoin(F.broadcast(cents))
     dot = _dot(F.col("emb"), F.col("cemb"))
     w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cell")
-    return (
-        pairs.select("vec_id", "cell", dot.alias("dot"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("vec_id", "cell", F.col("dot").alias("cell_affinity"))
+    return pairs.select("vec_id", "cell", dot.alias("dot")).withColumn(
+        "rn", F.row_number().over(w)
     )
+
+
+_IVF_NPROBE = 2
+
+
+@register(
+    "sim_ivf_topk",
+    f"""WITH scaled AS {_SCALED},
+        cents AS (
+          SELECT cell, list_transform(range(0, 64),
+                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
+                             THEN 5000 ELSE -5000 END) AS cemb
+          FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell)),
+        assign AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY
+                   (SELECT sum(x * y) FROM (SELECT unnest(s.emb) AS x, unnest(c.cemb) AS y)) DESC,
+                   cell) AS rn
+          FROM scaled s, cents c),
+        qcells AS (SELECT cell FROM assign WHERE vec_id = 0 AND rn <= {_IVF_NPROBE}),
+        cands AS (
+          SELECT a.vec_id FROM assign a JOIN qcells USING (cell)
+          WHERE a.rn = 1 AND a.vec_id <> 0),
+        q AS (SELECT emb AS qemb FROM scaled WHERE vec_id = 0),
+        sims AS (
+          SELECT s.vec_id,
+                 (SELECT sum(a * b) FROM (
+                    SELECT unnest(s.emb) AS a, unnest(q.qemb) AS b)) AS dot,
+                 (SELECT sum(a * a) FROM (SELECT unnest(s.emb) AS a)) AS na,
+                 (SELECT sum(b * b) FROM (SELECT unnest(q.qemb) AS b)) AS nb
+          FROM scaled s JOIN cands USING (vec_id), q)
+        SELECT vec_id, cos_x10000, rank FROM (
+          SELECT vec_id,
+                 CAST(floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) AS cos_x10000,
+                 row_number() OVER (ORDER BY floor(10000.0 * dot / (sqrt(na) * sqrt(nb))) DESC,
+                                    vec_id) AS rank
+          FROM sims) WHERE rank <= 10""",
+)
+def sim_ivf_topk(spark, sf):
+    """IVF-PROBED top-k search — the scale path that pairs with the
+    sim_cosine_topk brute-force baseline: the query (vec_id=0) probes
+    its nprobe=2 highest-affinity cells and only vectors ASSIGNED to
+    those cells are scored, so the scan shrinks by ~nprobe/cells
+    (recall is approximate by construction — a true neighbor assigned
+    to an unprobed cell is missed; that's the documented IVF recall/
+    speed dial).
+
+    At 10^10 rows the assignment is a stored column and the cell the
+    storage partition key (sim_ann_ivf's docstring), so this probe
+    compiles to a partition-pruned scan of nprobe/{_IVF_CELLS} of the
+    data — no assignment recompute, no shuffle; here the assignment is
+    derived on the fly and the probed-cell set (<= nprobe rows) is a
+    broadcast semi-join against it. Scoring + top-k then follow the
+    brute-force shape: orderBy+limit plans as TakeOrderedAndProject
+    (per-partition partial top-k); the rank window runs post-limit on
+    <= 10 rows (unpartitioned by construction, provably tiny)."""
+    assign = _ivf_assign(spark, sf)
+    qcells = assign.filter(f"vec_id = 0 AND rn <= {_IVF_NPROBE}").select("cell")
+    cands = (
+        assign.filter("rn = 1 AND vec_id <> 0")
+        .join(F.broadcast(qcells), "cell")
+        .select("vec_id")
+    )
+    scaled = _scaled_spark(spark, sf)
+    q = scaled.filter("vec_id = 0").select(F.col("emb").alias("qemb"))
+    sims = (
+        scaled.join(cands, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.floor(
+                10000.0
+                * _dot(F.col("emb"), F.col("qemb"))
+                / (
+                    F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                    * F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_x10000"),
+        )
+    )
+    top = sims.orderBy(F.col("cos_x10000").desc(), "vec_id").limit(10)
+    w = Window.orderBy(F.col("cos_x10000").desc(), "vec_id")
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # =====================================================================

@@ -1,0 +1,45 @@
+"""Semantics pins for the ANN search ops beyond the DuckDB comparator:
+the probed search must relate to the brute-force baseline exactly the
+way IVF promises (candidates = probed cells; scores identical to brute
+force on the candidate set; recall loss only ever from unprobed cells).
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from scrapeulous_spark.operators import load_all_catalogs
+
+    return load_all_catalogs()
+
+
+def test_ivf_topk_is_brute_force_over_probed_cells(spark, registry):
+    from scrapeulous_spark.operators.pipeline import _IVF_NPROBE, _ivf_assign
+
+    assign = {
+        (r.vec_id, r.rn): r.cell for r in _ivf_assign(spark, SF).collect()
+    }
+    probed = {assign[(0, rn)] for rn in range(1, _IVF_NPROBE + 1)}
+    got = registry["sim_ivf_topk"].spark(spark, SF).collect()
+
+    # every returned vector is assigned (rn=1) to a probed cell
+    for r in got:
+        assert assign[(r.vec_id, 1)] in probed, r
+
+    # scores + ranking == brute force restricted to the candidate set
+    brute = {
+        r.vec_id: r.cos_x10000
+        for r in registry["sim_cosine_topk"].spark(spark, SF).collect()
+    }
+    cand_in_brute = [r for r in got if r.vec_id in brute]
+    for r in cand_in_brute:
+        assert r.cos_x10000 == brute[r.vec_id], r
+
+    # any brute-force top-10 vector the probe MISSED lives in an
+    # unprobed cell — recall loss has exactly one cause
+    missed = set(brute) - {r.vec_id for r in got}
+    for v in missed:
+        assert assign[(v, 1)] not in probed, v

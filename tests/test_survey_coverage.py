@@ -39,7 +39,10 @@ def test_training_pipeline_extras_present():
         "dedup_lsh_pairs",
         "dedup_simhash",
         "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
+        "dedup_cluster_canonical",
         "sim_cosine_topk",
+        "sim_ivf_topk",
         "sim_ann_lsh_buckets",
         "sim_embedding_neardup",
         "text_lang_id",
