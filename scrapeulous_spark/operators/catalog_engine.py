@@ -512,3 +512,84 @@ def join_payload_oracle(spark, sf):
             ).alias("caption_match"),
         )
     )
+
+
+_PHASH_CHUNKS = 4  # 64-bit phash -> four 16-bit chunks
+_PHASH_RADIUS = 3  # pigeonhole: hd<=3 over 4 chunks => >=1 chunk exact
+
+
+@register(
+    "img_phash_neardup",
+    f"""WITH i AS (SELECT image_id, phash FROM read_parquet('{_P["images"]}')),
+        chunks AS (
+          SELECT image_id, phash, k, (phash >> (16 * k)) & 65535 AS cv
+          FROM i, (SELECT unnest(range(0, {_PHASH_CHUNKS})) AS k)),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM chunks a JOIN chunks b
+            ON a.k = b.k AND a.cv = b.cv AND a.image_id < b.image_id)
+        SELECT image_a, image_b, hamming FROM pairs
+        WHERE hamming <= {_PHASH_RADIUS}""",
+)
+def img_phash_neardup(spark, sf):
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the image-payload twin of dedup_simhash, and EXACT (not
+    probabilistic): with the 64-bit phash split into 4 disjoint 16-bit
+    chunks, any pair within Hamming radius 3 must agree exactly on at
+    least one chunk (pigeonhole), so equi-joining on (chunk_idx,
+    chunk_value) generates a candidate superset and bit_count(xor)
+    verification loses nothing — multi-index hashing (Norouzi et al.
+    '12). Reference parity: the phash column is the corpus's stored
+    perceptual hash, recomputed + validated by udf_image_decode
+    (codec/phash.py).
+
+    Scale shape (10^10 images): candidates never leave an equi-join —
+    the per-chunk buckets use the same skew-safe sorted-array
+    posexplode + slice-tail expansion as dedup_lsh_pairs (a hot chunk
+    value, e.g. flat-color images, costs m rows x O(m) across tasks,
+    never an O(m^2) array in one row), each bucket row carries
+    (image_id, phash) structs so verification reads the pair row
+    itself — no join back to the images table, and the 8-byte phash is
+    the ONLY payload column that ever shuffles."""
+    imgs = _corpus(spark, "images").select("image_id", "phash")
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftright("phash", 16 * k).bitwiseAND(F.lit(65535)).alias("cv"),
+                )
+                for k in range(_PHASH_CHUNKS)
+            ]
+        )
+    ).alias("c")
+    chunks = imgs.select("image_id", "phash", chunk).select(
+        "image_id", "phash", "c.k", "c.cv"
+    )
+    grouped = (
+        chunks.groupBy("k", "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("image_id", "phash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    members = grouped.select(
+        "members", F.posexplode("members").alias("pos", "a")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    tail = F.slice(F.col("members"), F.col("pos") + F.lit(2), F.size("members"))
+    hamming = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).cast("bigint")
+    return (
+        members.select("a", F.explode(tail).alias("b"))
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_RADIUS)
+        .distinct()
+    )

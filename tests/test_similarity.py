@@ -43,3 +43,28 @@ def test_ivf_topk_is_brute_force_over_probed_cells(spark, registry):
     missed = set(brute) - {r.vec_id for r in got}
     for v in missed:
         assert assign[(v, 1)] not in probed, v
+
+
+def test_phash_neardup_equals_brute_force(spark, registry):
+    """The multi-index candidate join must be EXACT at radius 3 — the
+    DuckDB twin uses the same chunk join, so pin recall against an
+    all-pairs Python brute force instead."""
+    from scrapeulous_spark.operators.catalog_engine import _P, _PHASH_RADIUS
+
+    imgs = [
+        (r.image_id, r.phash)
+        for r in spark.read.parquet(_P["images"]).select("image_id", "phash").collect()
+    ]
+    want = set()
+    for i, (ida, pa) in enumerate(imgs):
+        for idb, pb in imgs[i + 1:]:
+            hd = bin(pa ^ pb).count("1")
+            if hd <= _PHASH_RADIUS:
+                a, b = sorted((ida, idb))
+                want.add((a, b, hd))
+    got = {
+        (r.image_a, r.image_b, r.hamming)
+        for r in registry["img_phash_neardup"].spark(spark, SF).collect()
+    }
+    assert want, "smoke corpus must contain near-dup phashes"
+    assert got == want

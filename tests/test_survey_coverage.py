@@ -50,6 +50,7 @@ def test_training_pipeline_extras_present():
         "text_token_count",
         "text_fingerprint",
         "img_features",
+        "img_phash_neardup",
         "img_resize",
         "media_frame_sample",
         "seen_recrawl_membership",
