@@ -553,6 +553,12 @@ def img_phash_neardup(spark, sf):
     itself — no join back to the images table, and the 8-byte phash is
     the ONLY payload column that ever shuffles."""
     imgs = _corpus(spark, "images").select("image_id", "phash")
+    return _phash_pairs(spark, imgs)
+
+
+def _phash_pairs(spark: SparkSession, imgs: DataFrame) -> DataFrame:
+    """(image_a, image_b, hamming<=radius) pairs over (image_id, phash)
+    rows — the multi-index join described in img_phash_neardup."""
     chunk = F.explode(
         F.array(
             *[
@@ -592,4 +598,83 @@ def img_phash_neardup(spark, sf):
         )
         .filter(F.col("hamming") <= _PHASH_RADIUS)
         .distinct()
+    )
+
+
+_CAP_MIN_TOKENS = 5
+
+
+@register(
+    "img_curation_e2e",
+    rf"""WITH RECURSIVE
+        adm AS (
+          SELECT image_id, phash, length(trim(caption)) AS cap_len
+          FROM read_parquet('{_P["images"]}')
+          WHERE caption IS NOT NULL
+            AND len(string_split_regex(trim(caption), '\s+')) >= {_CAP_MIN_TOKENS}),
+        chunks AS (
+          SELECT image_id, phash, k, (phash >> (16 * k)) & 65535 AS cv
+          FROM adm, (SELECT unnest(range(0, {_PHASH_CHUNKS})) AS k)),
+        pairs AS (
+          SELECT DISTINCT a.image_id AS ia, b.image_id AS ib
+          FROM chunks a JOIN chunks b
+            ON a.k = b.k AND a.cv = b.cv AND a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_RADIUS}),
+        edges AS (SELECT ia AS u, ib AS v FROM pairs
+                  UNION SELECT ib, ia FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+        cc AS (SELECT u AS image_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT a.image_id,
+               coalesce(cc.cluster_id, a.image_id) AS cluster_id,
+               (row_number() OVER (
+                  PARTITION BY coalesce(cc.cluster_id, a.image_id)
+                  ORDER BY a.cap_len DESC, a.image_id) = 1) AS is_kept
+        FROM adm a LEFT JOIN cc USING (image_id)""",
+)
+def img_curation_e2e(spark, sf):
+    """Flagship image+caption curation pipeline (the graft cell's
+    payload axis, composed end-to-end): caption admission gate ->
+    phash near-dup pairs -> connected-components clusters -> keep ONE
+    image per cluster, preferring the longest caption (richest
+    supervision), ties to the smallest image_id. Singletons keep
+    themselves.
+
+    Stage order is cheapest-cut-first (pipeline_curation_e2e's rule):
+    the caption gate is a narrow map-side filter that shrinks every
+    downstream shuffle; the pair join, clustering, and keep-window then
+    run on admitted rows only. At 10^10 images the same plan holds —
+    gate at the scan (predicate pushdown on caption stats), multi-index
+    equi-join for candidates, O(V+E)-per-round label propagation, and
+    a keep-window over small-by-construction clusters. Image payload
+    bytes appear in NO stage — only (image_id, phash, cap_len)
+    shuffle."""
+    from .pipeline import connected_components
+
+    imgs = _corpus(spark, "images").select(
+        "image_id",
+        "phash",
+        F.length(F.trim("caption")).alias("cap_len"),
+        F.size(F.split(F.trim("caption"), r"\s+")).alias("cap_tokens"),
+        F.col("caption").isNotNull().alias("cap_present"),
+    )
+    adm = imgs.filter(
+        F.col("cap_present") & (F.col("cap_tokens") >= _CAP_MIN_TOKENS)
+    ).select("image_id", "phash", "cap_len")
+    pairs = _phash_pairs(spark, adm.select("image_id", "phash"))
+    cc = connected_components(pairs, "image_a", "image_b").select(
+        F.col("node").alias("image_id"), "cluster_id"
+    )
+    joined = adm.join(cc, "image_id", "left").select(
+        "image_id",
+        "cap_len",
+        F.coalesce("cluster_id", "image_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("cap_len").desc(), "image_id")
+    return joined.select(
+        "image_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
     )

@@ -332,38 +332,14 @@ _CC_MAX_ROUNDS = 64  # labels strictly decrease; pointer jumping halves
 # chains per round, so 64 covers any graph that fits in an int64 space
 
 
-@register(
-    "dedup_cluster_cc",
-    f"WITH RECURSIVE {_PAIRS_SQL} SELECT doc_id, cluster_id FROM cc",
-)
-def dedup_cluster_cc(spark, sf):
-    """Connected components over the LSH candidate-pair graph:
-    cluster_id = min doc_id reachable through near-dup pairs. Iterative
-    min-label propagation with pointer jumping (label(u) <- min(label,
-    neighbors' labels, label(label)) — the two-phase-star family of
-    MapReduce CC algorithms, Kiveris et al. SOCC'14), which converges
-    in O(log longest-chain) rounds rather than O(diameter).
-
-    Scale shape: the edge list is materialized ONCE (localCheckpoint;
-    on a cluster this would be a parquet/Iceberg intermediate) and
-    every round shuffles only (node, label) pairs — O(V+E) rows of two
-    bigints per round, log rounds, independent of document payloads.
-    Each round's result is checkpointed to truncate lineage (iterative
-    plans otherwise grow exponentially and re-execute the whole
-    history), and convergence is a limit(1).count() existence probe,
-    not a full-table compare. Near-dup graphs are almost all tiny
-    components, so the label table stops changing after 2-3 rounds in
-    practice; the 64-round cap is a safety rail, not a tuning knob.
-
-    The DuckDB twin is the same transitive closure as a recursive CTE
-    — tractable at oracle scale (sf<=0.1), where Spark's iterative
-    form is the one that survives 100 TB."""
-    from .catalog import REGISTRY
-
-    pairs = REGISTRY["dedup_lsh_pairs"].spark(spark, sf)
+def connected_components(pairs: "DataFrame", a: str, b: str) -> "DataFrame":
+    """(node, cluster_id = min reachable node) over an undirected pair
+    list — iterative min-label propagation with pointer jumping; see
+    dedup_cluster_cc's docstring for the scale analysis. Covers only
+    nodes that appear in a pair (callers coalesce singletons)."""
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .localCheckpoint()
     )
     lab = edges.select("u").distinct().withColumn("lbl", F.col("u")).localCheckpoint()
@@ -395,8 +371,42 @@ def dedup_cluster_cc(spark, sf):
         if changed == 0:
             break
     else:  # pragma: no cover - 64 rounds bounds any physical graph
-        raise RuntimeError("dedup_cluster_cc did not converge in 64 rounds")
-    return lab.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        raise RuntimeError("connected_components did not converge in 64 rounds")
+    return lab.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+@register(
+    "dedup_cluster_cc",
+    f"WITH RECURSIVE {_PAIRS_SQL} SELECT doc_id, cluster_id FROM cc",
+)
+def dedup_cluster_cc(spark, sf):
+    """Connected components over the LSH candidate-pair graph:
+    cluster_id = min doc_id reachable through near-dup pairs. Iterative
+    min-label propagation with pointer jumping (label(u) <- min(label,
+    neighbors' labels, label(label)) — the two-phase-star family of
+    MapReduce CC algorithms, Kiveris et al. SOCC'14), which converges
+    in O(log longest-chain) rounds rather than O(diameter).
+
+    Scale shape: the edge list is materialized ONCE (localCheckpoint;
+    on a cluster this would be a parquet/Iceberg intermediate) and
+    every round shuffles only (node, label) pairs — O(V+E) rows of two
+    bigints per round, log rounds, independent of document payloads.
+    Each round's result is checkpointed to truncate lineage (iterative
+    plans otherwise grow exponentially and re-execute the whole
+    history), and convergence is a limit(1).count() existence probe,
+    not a full-table compare. Near-dup graphs are almost all tiny
+    components, so the label table stops changing after 2-3 rounds in
+    practice; the 64-round cap is a safety rail, not a tuning knob.
+
+    The DuckDB twin is the same transitive closure as a recursive CTE
+    — tractable at oracle scale (sf<=0.1), where Spark's iterative
+    form is the one that survives 100 TB."""
+    from .catalog import REGISTRY
+
+    pairs = REGISTRY["dedup_lsh_pairs"].spark(spark, sf)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
 
 
 @register(

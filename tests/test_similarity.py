@@ -68,3 +68,54 @@ def test_phash_neardup_equals_brute_force(spark, registry):
     }
     assert want, "smoke corpus must contain near-dup phashes"
     assert got == want
+
+
+def test_img_curation_e2e_invariants(spark, registry):
+    """Composed image+caption pipeline: (a) exactly the >=5-token-
+    caption images appear, (b) one keeper per cluster and the keeper
+    has the longest caption (ties to min image_id), (c) clusters agree
+    with a union-find over phash pairs RESTRICTED to admitted images
+    (the gate runs before the pair join)."""
+    from scrapeulous_spark.operators.catalog_engine import (
+        _CAP_MIN_TOKENS,
+        _P,
+        _PHASH_RADIUS,
+    )
+
+    imgs = spark.read.parquet(_P["images"]).select(
+        "image_id", "phash", "caption"
+    ).collect()
+    adm = {
+        r.image_id: (len(r.caption.strip()), r.phash)
+        for r in imgs
+        if r.caption is not None and len(r.caption.strip().split()) >= _CAP_MIN_TOKENS
+    }
+    rows = registry["img_curation_e2e"].spark(spark, SF).collect()
+    assert sorted(r.image_id for r in rows) == sorted(adm)
+
+    ids = sorted(adm)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(adm[a][1] ^ adm[b][1]).count("1") <= _PHASH_RADIUS:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for r in rows:
+        assert r.cluster_id == find(r.image_id), r
+
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.is_kept]
+        assert len(keepers) == 1, cid
+        best = min(members, key=lambda r: (-adm[r.image_id][0], r.image_id))
+        assert keepers[0].image_id == best.image_id

@@ -51,6 +51,7 @@ def test_training_pipeline_extras_present():
         "text_fingerprint",
         "img_features",
         "img_phash_neardup",
+        "img_curation_e2e",
         "img_resize",
         "media_frame_sample",
         "seen_recrawl_membership",
