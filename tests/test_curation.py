@@ -301,3 +301,44 @@ def test_cluster_canonical_one_keeper_per_cluster(spark, registry):
         assert keepers[0].doc_id == best.doc_id
         if len(members) == 1:
             assert members[0].doc_id == cid or members[0].is_kept
+
+
+def test_connected_components_chain_and_random_graphs(spark):
+    """The corpus pair graph converges in ~2 rounds — exercise the
+    iterative machinery where it earns its keep: a 65-node CHAIN
+    (worst case for plain min-propagation, needs pointer jumping) and
+    seeded random graphs, each checked against Python union-find."""
+    import random
+
+    from scrapeulous_spark.operators.pipeline import connected_components
+
+    def uf(pairs):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    cases = [[(i, i + 1) for i in range(65)]]  # descending-id chain
+    rng = random.Random(7)
+    for n, m in ((40, 25), (80, 60), (120, 40)):
+        cases.append(
+            [tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)]
+        )
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, "a bigint, b bigint")
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(df, "a", "b").collect()
+        }
+        assert got == uf(pairs), pairs[:5]
