@@ -180,3 +180,34 @@ def test_curation_pipeline_single_exchange(spark, registry):
     # section — count the numbered detail headers
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Join" not in plan
+
+
+def test_phash_neardup_plan_joinless_and_payload_free(spark, registry):
+    """The multi-index pair stage is a groupBy + in-bucket expansion:
+    NO join anywhere in the plan (a self-join would recompute the
+    chunk subtree), and the image bytes/caption columns never enter it
+    — only (image_id, phash) flow."""
+    plan = _plan(registry["img_phash_neardup"].spark(spark, _SF))
+    assert "Join" not in plan
+    assert "bytes" not in plan and "caption" not in plan
+    assert "bit_count" in plan  # verify stage is a codegen'd builtin
+
+
+def test_img_curation_gate_pushed_to_scan(spark, registry):
+    """The caption admission gate must reach the parquet scan: the
+    final-stage images scan reads only (image_id, caption) with the
+    caption null-check pushed down; payload bytes appear nowhere."""
+    plan = _plan(registry["img_curation_e2e"].spark(spark, _SF))
+    assert "PushedFilters: [IsNotNull(caption)]" in plan
+    assert "bytes" not in plan
+    assert "ReadSchema: struct<image_id:string,caption:string>" in plan
+
+
+def test_ivf_topk_plans_partial_topk(spark, registry):
+    """The probed search's global top-10 must plan as
+    TakeOrderedAndProject (per-partition partial top-k) — a global
+    single-partition sort would be the scale bug — and the probed-cell
+    set must join as a broadcast."""
+    plan = _plan(registry["sim_ivf_topk"].spark(spark, _SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
