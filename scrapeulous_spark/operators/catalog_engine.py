@@ -678,3 +678,66 @@ def img_curation_e2e(spark, sf):
         "cluster_id",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------- admission
+_IMG_MIN_DIM = 24          # smallest usable training resolution here
+_IMG_MAX_ASPECT_X1000 = 3000  # max(w,h)/min(w,h) <= 3.0, integer-scaled
+
+
+@register(
+    "img_admission_gate",
+    rf"""SELECT image_id, w, h, fmt,
+           (w >= {_IMG_MIN_DIM} AND h >= {_IMG_MIN_DIM}) AS size_ok,
+           (1000 * greatest(w, h) <= {_IMG_MAX_ASPECT_X1000} * least(w, h))
+             AS aspect_ok,
+           (fmt = 'png') AS fmt_ok,
+           (caption IS NOT NULL
+            AND len(string_split_regex(trim(caption), '\s+'))
+                >= {_CAP_MIN_TOKENS}) AS cap_ok,
+           (w >= {_IMG_MIN_DIM} AND h >= {_IMG_MIN_DIM}
+            AND 1000 * greatest(w, h) <= {_IMG_MAX_ASPECT_X1000} * least(w, h)
+            AND fmt = 'png'
+            AND caption IS NOT NULL
+            AND len(string_split_regex(trim(caption), '\s+'))
+                >= {_CAP_MIN_TOKENS}) AS admitted
+        FROM read_parquet('{_P["images"]}')""",
+)
+def img_admission_gate(spark, sf):
+    """LAION-style image+caption admission gate over the input_hint
+    table (image_id, bytes, w, h, fmt, caption, phash): minimum
+    dimension, aspect-ratio bound (integer-scaled x1000 so both
+    engines compare exact ints), lossless-format whitelist, and
+    caption token floor — each rule emitted as its own flag plus the
+    conjunction, so downstream stages can relax one rule without
+    re-scanning.
+
+    On this corpus w/h are uniform 32x24, so size_ok/aspect_ok are
+    constant by construction — the oracle still verifies the rule
+    arithmetic bit-for-bit (same convention as text_gopher_quality's
+    corpus-constant stopword rule); fmt_ok and cap_ok split the rows.
+
+    Scale shape (10^10 images): a pure narrow projection over METADATA
+    columns only — the bytes payload is never referenced, so parquet
+    column pruning keeps it on disk (guarded by a ReadSchema plan
+    test), no shuffle anywhere, and when this gate runs as stage 1 of
+    a curation pipeline (cheapest cut first) the admitted predicate
+    pushes to the scan."""
+    caps = F.size(F.split(F.trim("caption"), r"\s+"))
+    size_ok = (F.col("w") >= _IMG_MIN_DIM) & (F.col("h") >= _IMG_MIN_DIM)
+    aspect_ok = (
+        1000 * F.greatest("w", "h") <= _IMG_MAX_ASPECT_X1000 * F.least("w", "h")
+    )
+    fmt_ok = F.col("fmt") == "png"
+    cap_ok = F.col("caption").isNotNull() & (caps >= _CAP_MIN_TOKENS)
+    return _corpus(spark, "images").select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        size_ok.alias("size_ok"),
+        aspect_ok.alias("aspect_ok"),
+        fmt_ok.alias("fmt_ok"),
+        cap_ok.alias("cap_ok"),
+        (size_ok & aspect_ok & fmt_ok & cap_ok).alias("admitted"),
+    )

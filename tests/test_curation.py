@@ -342,3 +342,32 @@ def test_connected_components_chain_and_random_graphs(spark):
             for r in connected_components(df, "a", "b").collect()
         }
         assert got == uf(pairs), pairs[:5]
+
+
+def test_img_admission_gate_rules_recomputed(spark, registry):
+    """Each admission flag is a pure function of the metadata row —
+    recompute all four rules in Python from the corpus parquet."""
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    imgs = {
+        r.image_id: r
+        for r in spark.read.parquet(paths["images"])
+        .select("image_id", "w", "h", "fmt", "caption")
+        .collect()
+    }
+    rows = registry["img_admission_gate"].spark(spark, SF).collect()
+    assert len(rows) == len(imgs)
+    for r in rows:
+        src = imgs[r.image_id]
+        size_ok = src.w >= 24 and src.h >= 24
+        aspect_ok = 1000 * max(src.w, src.h) <= 3000 * min(src.w, src.h)
+        fmt_ok = src.fmt == "png"
+        cap_ok = src.caption is not None and len(re.split(r"\s+", src.caption.strip())) >= 5
+        assert (r.size_ok, r.aspect_ok, r.fmt_ok, r.cap_ok) == (
+            size_ok,
+            aspect_ok,
+            fmt_ok,
+            cap_ok,
+        )
+        assert r.admitted == (size_ok and aspect_ok and fmt_ok and cap_ok)

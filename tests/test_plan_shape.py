@@ -211,3 +211,13 @@ def test_ivf_topk_plans_partial_topk(spark, registry):
     plan = _plan(registry["sim_ivf_topk"].spark(spark, _SF))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_img_admission_gate_map_only_and_bytes_pruned(spark, registry):
+    """img_admission_gate claims a map-only plan over metadata columns:
+    no exchange anywhere, and the parquet scan's ReadSchema must not
+    include the bytes payload (column pruning keeps it on disk)."""
+    plan = _plan(registry["img_admission_gate"].spark(spark, _SF))
+    assert "Exchange" not in plan
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("bytes" not in ln for ln in read_schemas)
