@@ -1165,3 +1165,172 @@ def emb_quantize_int8(spark, sf):
         F.floor(127.0 * F.col("x") / F.col("maxabs")).cast("bigint")
     )
     return exploded.select("vec_id", "pos", q.alias("q"))
+
+
+# =====================================================================
+# Decontamination & span-level dedup
+# =====================================================================
+#
+# Benchmark decontamination (GPT-3 appendix C / PaLM style): drop or
+# flag training documents sharing verbatim n-gram spans with the eval
+# set. GPT-3 uses 13-gram spans over a web-scale vocabulary; this
+# corpus's documents are ~55 tokens drawn from a ~30-word vocabulary,
+# so trigrams give the same row-splitting behavior 13-grams give at
+# web scale (with N=8 here every flag would be constantly false and
+# the oracle would verify nothing but the zero).
+
+_DECON_N = 3  # shingle width (see note above; GPT-3 appx C uses 13)
+_DECON_EVAL_MOD = 97  # doc_id % 97 == 0 rows stand in for the benchmark set
+_DECON_BOILER_MIN = 3  # a span in >= 3 distinct docs is boilerplate
+
+# per-doc DISTINCT n-gram list, computed inside the row with array ops
+# (array_distinct over the shingle list) — deduping spans within a doc
+# costs ZERO shuffle this way, where a (doc_id, gram) DISTINCT would be
+# a full exchange of every span in the corpus
+_DECON_GRAMS = (
+    f"(SELECT doc_id, list_distinct(list_transform("
+    f"range(1, greatest(len(t) - {_DECON_N - 2}, 1)), "
+    f"i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS gs "
+    r"FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t"
+    " FROM documents))"
+)
+
+
+def _decon_grams(spark, sf):
+    """(doc_id, gs = distinct n-gram shingles) — map-only."""
+    t = F.split(F.trim("text"), r"\s+")
+    n = _DECON_N
+    # sequence(1, k) is DESCENDING when k < 1 — guard short docs to an
+    # empty shingle list instead
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gs = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    )
+    return T(spark, sf, "documents").select("doc_id", gs.alias("gs"))
+
+
+@register(
+    "decon_ngram_overlap",
+    f"""WITH grams AS {_DECON_GRAMS},
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        eval_g AS (SELECT DISTINCT gram FROM ex
+                   WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+        hits AS (SELECT e.doc_id, count(*) AS c
+                 FROM ex e JOIN eval_g USING (gram)
+                 WHERE e.doc_id % {_DECON_EVAL_MOD} <> 0
+                 GROUP BY e.doc_id)
+        SELECT g.doc_id, len(g.gs) AS n_grams,
+               coalesce(h.c, 0) AS n_eval_hits,
+               coalesce(h.c, 0) > 0 AS contaminated
+        FROM grams g LEFT JOIN hits h USING (doc_id)
+        WHERE g.doc_id % {_DECON_EVAL_MOD} <> 0""",
+)
+def decon_ngram_overlap(spark, sf):
+    """Benchmark decontamination: flag training documents that share a
+    verbatim n-gram (N=_DECON_N) with the held-out eval subset (doc_id
+    % _DECON_EVAL_MOD == 0 stands in for the benchmark table; in
+    production it is a separate small table of eval documents).
+
+    Scale shape (10^10 train docs, ~10^5 eval docs): the eval n-gram
+    set is MUCH smaller than the corpus, so it is the broadcast side —
+    training shingles stream through a map-side BroadcastHashJoin and
+    only the matching (doc_id) rows reach the one groupBy exchange.
+    The join-back that recovers zero-hit docs shuffles (doc_id, n)
+    metadata pairs only. Per-doc span dedup is array_distinct INSIDE
+    the row (no exchange), not a corpus-wide DISTINCT."""
+    grams = _decon_grams(spark, sf)
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    train = grams.filter(~is_eval)
+    eval_g = (
+        grams.filter(is_eval).select(F.explode("gs").alias("gram")).distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("gram"))
+        .join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        train.select("doc_id", F.size("gs").cast("bigint").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_eval_hits"),
+            (F.coalesce("c", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "decon_boilerplate_spans",
+    f"""WITH grams AS {_DECON_GRAMS}
+        SELECT gram, count(*) AS n_docs
+        FROM (SELECT doc_id, unnest(gs) AS gram FROM grams)
+        GROUP BY gram HAVING count(*) >= {_DECON_BOILER_MIN}""",
+)
+def decon_boilerplate_spans(spark, sf):
+    """Span-level boilerplate detection (the CCNet/RefinedWeb-style
+    repeated-span signal): n-gram spans appearing in >= _DECON_BOILER_MIN
+    DISTINCT documents. Within-doc repeats are removed row-locally
+    (array_distinct) so count(*) after the explode IS the distinct doc
+    count — one shuffle, partial-aggregated map-side. At 10^10 docs
+    the output (the boilerplate dictionary) is the heavy-hitter tail
+    only; grams would be hashed to 64-bit before the exchange to
+    narrow shuffle rows (kept as strings here so the driver's
+    value-hash covers the span text itself)."""
+    return (
+        _decon_grams(spark, sf)
+        .select(F.explode("gs").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _DECON_BOILER_MIN)
+    )
+
+
+@register(
+    "decon_span_ratio",
+    f"""WITH grams AS {_DECON_GRAMS},
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        boiler AS (SELECT gram FROM ex GROUP BY gram
+                   HAVING count(*) >= {_DECON_BOILER_MIN}),
+        b AS (SELECT e.doc_id, count(*) AS c
+              FROM ex e JOIN boiler USING (gram) GROUP BY e.doc_id)
+        SELECT g.doc_id,
+               CASE WHEN len(g.gs) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(1000.0 * coalesce(b.c, 0) / len(g.gs))
+                              AS BIGINT)
+               END AS dup_ratio_x1000
+        FROM grams g LEFT JOIN b USING (doc_id)""",
+)
+def decon_span_ratio(spark, sf):
+    """Per-document duplicated-span ratio: the fraction of a doc's
+    distinct spans that are corpus-wide boilerplate (floor-scaled
+    x1000 — the MassiveText 'duplicate line fraction' gate shape).
+    Two-pass: build the boilerplate dictionary (one aggregated
+    exchange), then re-scan and count each doc's members via a
+    BroadcastHashJoin against it — the dictionary is the heavy-hitter
+    tail, orders of magnitude smaller than the corpus, so the second
+    pass adds only the (doc_id, c) groupBy. Zero-span docs emit ratio
+    0 instead of dividing by zero."""
+    grams = _decon_grams(spark, sf)
+    ex = grams.select("doc_id", F.explode("gs").alias("gram"))
+    boiler = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _DECON_BOILER_MIN)
+        .select("gram")
+    )
+    b = ex.join(F.broadcast(boiler), "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sized = grams.select("doc_id", F.size("gs").alias("n_gs"))
+    ratio = F.when(F.col("n_gs") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(1000.0 * F.coalesce("c", F.lit(0)) / F.col("n_gs")).cast("bigint")
+    )
+    return sized.join(b, "doc_id", "left").select(
+        "doc_id", ratio.alias("dup_ratio_x1000")
+    )
+

@@ -221,3 +221,23 @@ def test_img_admission_gate_map_only_and_bytes_pruned(spark, registry):
     assert "Exchange" not in plan
     read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schemas and all("bytes" not in ln for ln in read_schemas)
+
+
+def test_decon_eval_set_is_broadcast(spark, registry):
+    """decon_ngram_overlap's scale claim: the eval n-gram set joins as
+    the broadcast side (training shingles never shuffle for the probe),
+    and the boilerplate dictionary in decon_span_ratio likewise."""
+    for name in ("decon_ngram_overlap", "decon_span_ratio"):
+        plan = _plan(registry[name].spark(spark, _SF))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_boilerplate_spans_single_agg_exchange(spark, registry):
+    """decon_boilerplate_spans is one partial-aggregated groupBy: the
+    plan must contain exactly one shuffle exchange and a partial
+    HashAggregate below it."""
+    plan = _plan(registry["decon_boilerplate_spans"].spark(spark, _SF))
+    # formatted explain names each node twice (tree + detail section):
+    # count the detail headers only
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan
