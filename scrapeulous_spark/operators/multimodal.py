@@ -70,9 +70,15 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def image_features(images: DataFrame) -> DataFrame:
+def image_features(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Per-channel mean + gray std + phash, scaled to bigint x1000
-    (stable value-hash across engines — no raw doubles)."""
+    (stable value-hash across engines — no raw doubles).
+
+    ``passthrough`` names extra input columns to carry through the
+    Arrow batch unchanged (e.g. ``caption``) — callers that need
+    metadata NEXT TO the decoded features get it without a post-decode
+    self-join (which would shuffle the feature rows just to recover a
+    column that was already in the scan)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -95,9 +101,18 @@ def image_features(images: DataFrame) -> DataFrame:
                 out["mean_b_x1000"].append(int(round(means[2] * 1000)))
                 out["std_gray_x1000"].append(int(round(gray.std() * 1000)))
                 out["phash"].append(phash64(px.astype(np.uint8)))
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for col in passthrough:
+                res[col] = list(pdf[col])
+            yield pd.DataFrame(res)
 
-    return images.select("image_id", "bytes").mapInPandas(batches, schema=FEATURES_SCHEMA)
+    schema = FEATURES_SCHEMA
+    if passthrough:
+        types = {f.name: f.dataType.simpleString() for f in images.schema.fields}
+        schema += "".join(f", {c} {types[c]}" for c in passthrough)
+    return images.select("image_id", "bytes", *passthrough).mapInPandas(
+        batches, schema=schema
+    )
 
 
 def _decode_video(raw: bytes):
@@ -196,3 +211,81 @@ def img_features(spark, sf):
 )
 def media_frame_sample(spark, sf):
     return frame_sample(_corpus_images(spark), n_frames=4)
+
+
+# ------------------------------------------------------------- alignment
+# CLIP-score-style caption<->image alignment gate. A real pipeline puts
+# learned embeddings on both sides; the sandbox stand-in keeps every
+# piece of the Spark plumbing real (Arrow batch decode -> feature
+# vector; JVM-side caption projection; IEEE-double cosine identical in
+# both engines) and swaps only the embedding models: the image vector
+# is the decoded-pixel feature vector, the caption vector is a salted
+# 32-bit hash projection per dimension.
+
+_ALIGN_DIMS = 4
+_ALIGN_MIN_X1000 = 850  # splits this corpus ~50/50 (measured median 863)
+
+
+def _align_sql() -> str:
+    from .pipeline import _h32_sql
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    img = ensure_corpus(SMOKE)["images"]
+    caps = ", ".join(
+        f"({_h32_sql('caption', f'cap{d}')} % 1000 + 1) AS c{d}"
+        for d in range(_ALIGN_DIMS)
+    )
+    return f"""WITH img AS (SELECT image_id, mean_r_x1000 AS v0, mean_g_x1000 AS v1,
+                    mean_b_x1000 AS v2, std_gray_x1000 + 1 AS v3
+               FROM read_parquet('{_E}')),
+        cap AS (SELECT image_id, {caps} FROM read_parquet('{img}')),
+        s AS (SELECT image_id,
+                (v0*c0 + v1*c1 + v2*c2 + v3*c3) AS dot,
+                sqrt(v0*v0 + v1*v1 + v2*v2 + v3*v3) AS na,
+                sqrt(c0*c0 + c1*c1 + c2*c2 + c3*c3) AS nb
+              FROM img JOIN cap USING (image_id))
+        SELECT image_id,
+               CAST(floor(1000.0 * dot / (na * nb)) AS BIGINT) AS align_x1000,
+               floor(1000.0 * dot / (na * nb)) >= {_ALIGN_MIN_X1000} AS aligned
+        FROM s"""
+
+
+@register("img_caption_align", _align_sql())
+def img_caption_align(spark, sf):
+    """Caption<->image alignment score + admission flag (the LAION
+    'CLIP filter' stage shape): cosine between the image's decoded
+    feature vector and a deterministic caption projection, floor-scaled
+    x1000. Norm sums stay exact BIGINTs until the sqrt cast, so both
+    engines feed bit-identical doubles into IEEE sqrt/mul/div and the
+    floor can't straddle an ulp.
+
+    Scale shape (10^10 pairs): ONE map-only pass — the caption rides
+    through the Arrow decode batch (image_features passthrough), so the
+    plan is scan -> ArrowEvalPython -> project with zero exchanges; no
+    self-join to reunite features with metadata. The DuckDB twin scores
+    the generator's expected-values sidecar, so a decode-path bug that
+    shifts any feature value fails the value-hash, not just the flag."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import _h32
+
+    feats = image_features(_corpus_images(spark), passthrough=("caption",))
+    v = [
+        F.col("mean_r_x1000"),
+        F.col("mean_g_x1000"),
+        F.col("mean_b_x1000"),
+        F.col("std_gray_x1000") + F.lit(1),
+    ]
+    c = [
+        _h32(F.col("caption"), f"cap{d}") % 1000 + 1
+        for d in range(_ALIGN_DIMS)
+    ]
+    dot = v[0] * c[0] + v[1] * c[1] + v[2] * c[2] + v[3] * c[3]
+    na = F.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2] + v[3] * v[3])
+    nb = F.sqrt(c[0] * c[0] + c[1] * c[1] + c[2] * c[2] + c[3] * c[3])
+    align = F.floor(1000.0 * dot / (na * nb)).cast("bigint")
+    return feats.select(
+        "image_id",
+        align.alias("align_x1000"),
+        (align >= _ALIGN_MIN_X1000).alias("aligned"),
+    )

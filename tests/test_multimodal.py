@@ -81,3 +81,44 @@ def test_payload_invariants_hold(spark, images):
     assert rep["decode_ok"].all()
     assert rep["pixels_allclose"].all()
     assert (rep["psnr_db"] >= 40.0).all()
+
+
+def test_caption_align_recomputed(spark):
+    """Recompute the alignment score in plain Python (codec decode +
+    md5 caption projection) for every corpus row; the gate must split
+    rows on this corpus (both flags present) or the threshold is
+    verifying a constant."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from scrapeulous_spark.codec.png import png_decode
+    from scrapeulous_spark.operators import load_all_catalogs
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    reg = load_all_catalogs()
+    rows = {r.image_id: r for r in reg["img_caption_align"].spark(spark, "unused").collect()}
+    imgs = spark.read.parquet(ensure_corpus(SMOKE)["images"]).collect()
+    assert len(rows) == len(imgs)
+
+    def h32(s, salt):
+        return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16)
+
+    flags = set()
+    for r in imgs:
+        px = png_decode(bytes(r.bytes)).astype(np.float64)
+        means = px.mean(axis=(0, 1))
+        v = [int(round(means[i] * 1000)) for i in range(3)] + [
+            int(round(px.mean(axis=2).std() * 1000)) + 1
+        ]
+        c = [h32(r.caption, f"cap{d}") % 1000 + 1 for d in range(4)]
+        dot = sum(a * b for a, b in zip(v, c))
+        want = math.floor(
+            1000.0 * dot / (math.sqrt(sum(x * x for x in v)) * math.sqrt(sum(x * x for x in c)))
+        )
+        got = rows[r.image_id]
+        assert got.align_x1000 == want, r.image_id
+        assert got.aligned == (want >= 850)
+        flags.add(got.aligned)
+    assert flags == {True, False}

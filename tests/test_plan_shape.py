@@ -241,3 +241,12 @@ def test_boilerplate_spans_single_agg_exchange(spark, registry):
     # count the detail headers only
     assert plan.count("Exchange (") == 1
     assert "partial_count" in plan
+
+
+def test_caption_align_map_only(spark, registry):
+    """img_caption_align claims ONE map-only pass: caption rides
+    through the Arrow decode batch, so the plan has a MapInPandas node
+    and zero shuffle exchanges (no self-join to reunite metadata)."""
+    plan = _plan(registry["img_caption_align"].spark(spark, _SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
