@@ -289,3 +289,89 @@ def img_caption_align(spark, sf):
         align.alias("align_x1000"),
         (align >= _ALIGN_MIN_X1000).alias("aligned"),
     )
+
+
+# ------------------------------------------------------------- sharding
+# WebDataset-style shard packing: assign each image+caption row to a
+# fixed-size output shard by GLOBAL byte offset (training loaders want
+# size-balanced tar shards in a deterministic order). The global
+# running sum is the textbook distributed prefix-sum: range-partition
+# by key, cumsum WITHIN each partition, then add per-partition offsets
+# — never a single-task global window.
+
+_SHARD_BYTES = 16384
+_SHARD_PARTS = 8
+
+
+def _shard_sql() -> str:
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    img = ensure_corpus(SMOKE)["images"]
+    cum = ("sum(octet_length(bytes)) OVER (ORDER BY image_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""SELECT image_id,
+               CAST(octet_length(bytes) AS BIGINT) AS nbytes,
+               CAST({cum} AS BIGINT) AS cum_bytes,
+               CAST(floor(({cum} - 1) / {_SHARD_BYTES}) AS BIGINT) AS shard_id
+        FROM read_parquet('{img}')"""
+
+
+@register("img_shard_pack", _shard_sql())
+def img_shard_pack(spark, sf):
+    """(image_id, nbytes, cum_bytes, shard_id): fixed-size shard
+    assignment by global byte prefix-sum in image_id order — the
+    WebDataset tar-shard layout step of an image-training pipeline.
+
+    Scale shape (10^10 rows): a naive `sum() OVER (ORDER BY ...)` — the
+    oracle's formulation — is a SINGLE-TASK window, the classic scale
+    bug. This op is the two-pass exact equivalent: repartitionByRange
+    (image_id) keeps the sort distributed, the running sum is windowed
+    per range partition, and partition offsets come from a totals table
+    with exactly one row per partition (its own ordering window runs
+    over <= _SHARD_PARTS rows — provably tiny, the documented-benign
+    case) broadcast back onto the data. Values are invariant to where
+    RangePartitioner's sampled boundaries land, so the result matches
+    the serial formulation bit-for-bit."""
+    from pyspark.sql import Window, functions as F
+
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    imgs = spark.read.parquet(ensure_corpus(SMOKE)["images"]).select(
+        "image_id", F.length("bytes").cast("bigint").alias("nbytes")
+    )
+    parts = imgs.repartitionByRange(_SHARD_PARTS, "image_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # PERSIST is load-bearing, not an optimization: the offsets branch
+    # below re-consumes this frame, and without materialization each
+    # consumer would re-execute repartitionByRange with an independent
+    # boundary SAMPLE — spark_partition_id() could then disagree
+    # between the joined sides and corrupt every offset. One shared
+    # materialization (metadata columns only, ~40B/row, spillable)
+    # pins the pids; the write-once equivalent at cluster scale is
+    # committing the ranged pass to storage and reading it twice.
+    within = parts.withColumn("cum_in", F.sum("nbytes").over(w_in)).persist()
+    # one row per range partition: offset = sum of totals of the
+    # partitions BEFORE this one
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        within.groupBy("pid")
+        .agg(F.max("cum_in").alias("total"))
+        .select(
+            "pid", (F.sum("total").over(w_off) - F.col("total")).alias("offset")
+        )
+    )
+    cum = F.col("offset") + F.col("cum_in")
+    return within.join(F.broadcast(offsets), "pid").select(
+        "image_id",
+        "nbytes",
+        cum.alias("cum_bytes"),
+        F.floor((cum - 1) / _SHARD_BYTES).cast("bigint").alias("shard_id"),
+    )

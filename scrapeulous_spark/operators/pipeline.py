@@ -1334,3 +1334,106 @@ def decon_span_ratio(spark, sf):
         "doc_id", ratio.alias("dup_ratio_x1000")
     )
 
+
+
+# =====================================================================
+# Source-mixture reweighting (data-mixing stage)
+# =====================================================================
+#
+# The Pile / DoReMi-style static mixture control: given a target
+# per-source weight, compute each source's up/down-sampling factor and
+# an admission probability normalized so the most-upsampled source
+# keeps everything. Targets here are a deterministic function of the
+# source name (h32 % 20 + 1) standing in for the config table a real
+# pipeline reads.
+
+_MIX_SQL_T = f"({_h32_sql('source', 'mix')} % 20 + 1)"
+
+_MIX_WEIGHTS = f"""(
+  SELECT source, n_docs, t,
+         CAST(floor(1000.0 * t * n_total / (t_total * n_docs)) AS BIGINT)
+           AS weight_x1000,
+         CAST(floor(1000.0 * (CAST(t AS DOUBLE) / n_docs) / max_ratio)
+              AS BIGINT) AS admit_x1000
+  FROM (SELECT source, n_docs, t,
+               sum(n_docs) OVER () AS n_total,
+               sum(t) OVER () AS t_total,
+               max(CAST(t AS DOUBLE) / n_docs) OVER () AS max_ratio
+        FROM (SELECT source, count(*) AS n_docs, {_MIX_SQL_T} AS t
+              FROM documents GROUP BY source)))"""
+
+
+def _mix_weights_spark(spark, sf):
+    per = (
+        T(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("t", _h32(F.col("source"), "mix") % 20 + 1)
+    )
+    # global sums over the per-source table: one row per source, so the
+    # frame-only window (no partition) runs over a provably tiny input
+    # — the big table passed exactly ONE groupBy above
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ratio = F.col("t").cast("double") / F.col("n_docs")
+    enriched = per.select(
+        "source",
+        "n_docs",
+        "t",
+        F.sum("n_docs").over(w).alias("n_total"),
+        F.sum("t").over(w).alias("t_total"),
+        F.max(ratio).over(w).alias("max_ratio"),
+    )
+    weight = F.floor(
+        1000.0 * F.col("t") * F.col("n_total") / (F.col("t_total") * F.col("n_docs"))
+    ).cast("bigint")
+    admit = F.floor(
+        1000.0 * (F.col("t").cast("double") / F.col("n_docs")) / F.col("max_ratio")
+    ).cast("bigint")
+    return enriched.select(
+        "source",
+        "n_docs",
+        "t",
+        weight.alias("weight_x1000"),
+        admit.alias("admit_x1000"),
+    )
+
+
+@register(
+    "sample_source_mix",
+    f"SELECT source, n_docs, t, weight_x1000, admit_x1000 FROM {_MIX_WEIGHTS}",
+)
+def sample_source_mix(spark, sf):
+    """Per-source mixture weights: weight = target_frac / actual_frac
+    (floor x1000) and an admission probability normalized to the
+    most-upsampled source. Shuffle cost at 10^10 docs is ONE counting
+    groupBy of (source) pairs; everything after runs on the sources-
+    many row table (window frames over it are provably tiny). All
+    ratios hit IEEE doubles from exact integer inputs, so both engines
+    floor the same value."""
+    return _mix_weights_spark(spark, sf)
+
+
+@register(
+    "sample_mix_apply",
+    f"""WITH wts AS {_MIX_WEIGHTS}
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN wts USING (source)
+        WHERE {_h32_sql("CAST(doc_id AS VARCHAR)", "mixsamp")} % 1000
+              < wts.admit_x1000""",
+)
+def sample_mix_apply(spark, sf):
+    """Apply the mixture: deterministic per-doc hash admission against
+    the source's admit probability. The weights table is broadcast
+    (sources-many rows), so the pass over 10^10 docs is map-only —
+    scan -> broadcast-join -> filter, no shuffle of the corpus; the
+    only exchange anywhere is sample_source_mix's counting groupBy."""
+    wts = _mix_weights_spark(spark, sf).select("source", "admit_x1000")
+    return (
+        T(spark, sf, "documents")
+        .join(F.broadcast(wts), "source")
+        .filter(
+            _h32(F.col("doc_id").cast("string"), "mixsamp") % 1000
+            < F.col("admit_x1000")
+        )
+        .select("doc_id", "source")
+    )

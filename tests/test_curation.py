@@ -371,3 +371,57 @@ def test_img_admission_gate_rules_recomputed(spark, registry):
             cap_ok,
         )
         assert r.admitted == (size_ok and aspect_ok and fmt_ok and cap_ok)
+
+
+def test_shard_pack_recomputed(spark, registry):
+    """Global prefix-sum exactness: the distributed two-pass result
+    must equal the serial cumsum in image_id order, and shards must
+    respect the 16 KiB budget (each shard's first row starts a new
+    16384-byte window)."""
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    imgs = sorted(
+        (r.image_id, len(bytes(r.bytes)))
+        for r in spark.read.parquet(ensure_corpus(SMOKE)["images"])
+        .select("image_id", "bytes")
+        .collect()
+    )
+    rows = {r.image_id: r for r in registry["img_shard_pack"].spark(spark, SF).collect()}
+    assert len(rows) == len(imgs)
+    cum = 0
+    shards = set()
+    for iid, n in imgs:
+        cum += n
+        r = rows[iid]
+        assert (r.nbytes, r.cum_bytes, r.shard_id) == (n, cum, (cum - 1) // 16384), iid
+        shards.add(r.shard_id)
+    assert len(shards) > 1  # the budget actually splits this corpus
+
+
+def test_source_mix_recomputed(spark, registry):
+    """Mixture weights and admission must equal a plain-Python
+    recompute; apply must admit exactly the hash-selected doc set."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source").collect()
+    n = Counter(r.source for r in docs)
+    t = {s: _h32(s, "mix") % 20 + 1 for s in n}
+    n_total, t_total = sum(n.values()), sum(t.values())
+    max_ratio = max(t[s] / n[s] for s in n)
+    import math
+
+    for r in registry["sample_source_mix"].spark(spark, SF).collect():
+        s = r.source
+        assert r.n_docs == n[s] and r.t == t[s]
+        assert r.weight_x1000 == math.floor(1000.0 * t[s] * n_total / (t_total * n[s]))
+        assert r.admit_x1000 == math.floor(1000.0 * (t[s] / n[s]) / max_ratio)
+    admit = {
+        s: math.floor(1000.0 * (t[s] / n[s]) / max_ratio) for s in n
+    }
+    want = {
+        r.doc_id
+        for r in docs
+        if _h32(str(r.doc_id), "mixsamp") % 1000 < admit[r.source]
+    }
+    got = {r.doc_id for r in registry["sample_mix_apply"].spark(spark, SF).collect()}
+    assert got == want and 0 < len(got) < len(docs)

@@ -250,3 +250,28 @@ def test_caption_align_map_only(spark, registry):
     plan = _plan(registry["img_caption_align"].spark(spark, _SF))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_shard_pack_big_window_is_partitioned(spark, registry):
+    """img_shard_pack's data-side running sum must be windowed PER
+    RANGE PARTITION (pid) — a single-task global window over the data
+    is the scale bug this op exists to avoid. The only unpartitioned
+    window allowed is the offsets side, which runs over one row per
+    partition. The ranged pass must also be persisted so both join
+    sides see the same spark_partition_id assignment."""
+    df = registry["img_shard_pack"].spark(spark, _SF)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mix_apply_broadcasts_weights(spark, registry):
+    """sample_mix_apply: weights broadcast onto the corpus scan — the
+    doc table itself passes no exchange (its only shuffle is inside the
+    weights aggregate over (source) pairs)."""
+    plan = _plan(registry["sample_mix_apply"].spark(spark, _SF))
+    assert "BroadcastHashJoin" in plan
+    # exchanges exist only under the BroadcastExchange (weights side)
+    tree = plan.split("(1) Scan parquet")[0]
+    big_side = tree.split("BroadcastExchange")[0]
+    assert "Exchange" not in big_side.split("BroadcastHashJoin")[1]
