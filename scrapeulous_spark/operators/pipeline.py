@@ -1437,3 +1437,101 @@ def sample_mix_apply(spark, sf):
         )
         .select("doc_id", "source")
     )
+
+
+# =====================================================================
+# SemDeDup: semantic dedup over embedding clusters (Abbas et al. '23)
+# =====================================================================
+
+_SEMDEDUP_MIN = 3500  # within-cell cosine x10000 for "semantically same"
+
+_SEM_CENTS = f"""(SELECT cell, list_transform(range(0, 64),
+                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
+                             THEN 5000 ELSE -5000 END) AS cemb
+                  FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell))"""
+
+_SEM_ASSIGN = f"""(SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             (SELECT sum(x * y) FROM (SELECT unnest(s.emb) AS x, unnest(c.cemb) AS y)) DESC,
+             c.cell) AS rn
+    FROM scaled s, cents c) WHERE rn = 1)"""
+
+
+@register(
+    "emb_semdedup",
+    f"""WITH RECURSIVE scaled AS {_SCALED},
+        cents AS {_SEM_CENTS},
+        a1 AS {_SEM_ASSIGN},
+        pairs AS (
+          SELECT va, vb FROM (
+            SELECT x.vec_id AS va, y.vec_id AS vb,
+              CAST(floor(10000.0 *
+                (SELECT sum(p * q) FROM (SELECT unnest(sx.emb) AS p, unnest(sy.emb) AS q)) /
+                (sqrt((SELECT sum(p * p) FROM (SELECT unnest(sx.emb) AS p))) *
+                 sqrt((SELECT sum(q * q) FROM (SELECT unnest(sy.emb) AS q))))) AS BIGINT) AS cos
+            FROM a1 x JOIN a1 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            JOIN scaled sx ON sx.vec_id = x.vec_id
+            JOIN scaled sy ON sy.vec_id = y.vec_id)
+          WHERE cos >= {_SEMDEDUP_MIN}),
+        edges AS (SELECT va AS u, vb AS v FROM pairs
+                  UNION SELECT vb, va FROM pairs),
+        reach(u, v) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges) nodes
+          UNION
+          SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+        cc AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT a1.vec_id, a1.cell,
+               coalesce(cc.cluster_id, a1.vec_id) AS sem_cluster,
+               (cc.cluster_id IS NULL OR cc.cluster_id = a1.vec_id) AS is_kept
+        FROM a1 LEFT JOIN cc ON a1.vec_id = cc.vec_id""",
+)
+def emb_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. '23): cluster embeddings coarsely (the
+    IVF cells double as the k-means stage), find near-identical pairs
+    WITHIN each cell, connect them transitively, and keep one
+    representative (min vec_id) per semantic cluster — singletons pass
+    through untouched.
+
+    Scale shape (10^10 vectors): the pair expansion is cell-bucketed,
+    never all-pairs — a cell holds ~n/k vectors, so the quadratic term
+    is k * (n/k)^2 with k chosen to keep cells RAM-sized; at this SF
+    the probe side broadcasts (same measured rationale as
+    sim_embedding_neardup), at cluster scale both sides shuffle on
+    cell and pair within partitions. Norms are computed once per
+    vector before pairing. The CC stage runs on the (sparse) pair
+    list via the session-memoized min-label propagation, not on the
+    corpus."""
+    assign = _ivf_assign(spark, sf).filter("rn = 1").select("vec_id", "cell")
+    scaled = _scaled_spark(spark, sf).withColumn("n2", _dot(F.col("emb"), F.col("emb")))
+    # payload (emb) joins in ONCE, after the metadata-only rank window
+    side = assign.join(scaled.select("vec_id", "emb", "n2"), "vec_id")
+    a = side.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).select(
+        F.col("vec_id").alias("va"), "cell", F.col("emb").alias("ea"), F.col("n2").alias("na")
+    )
+    b = side.select(
+        F.col("vec_id").alias("vb"), "cell", F.col("emb").alias("eb"), F.col("n2").alias("nb")
+    )
+    cos = F.floor(
+        10000.0 * _dot(F.col("ea"), F.col("eb")) / (F.sqrt("na") * F.sqrt("nb"))
+    ).cast("bigint")
+    pairs = (
+        a.join(F.broadcast(b), "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEMDEDUP_MIN)
+        .select("va", "vb")
+    )
+    cc = connected_components(pairs, "va", "vb")
+    return assign.join(
+        cc.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce("cluster_id", "vec_id").alias("sem_cluster"),
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias(
+            "is_kept"
+        ),
+    )

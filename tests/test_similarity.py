@@ -119,3 +119,60 @@ def test_img_curation_e2e_invariants(spark, registry):
         assert len(keepers) == 1, cid
         best = min(members, key=lambda r: (-adm[r.image_id][0], r.image_id))
         assert keepers[0].image_id == best.image_id
+
+
+def test_emb_semdedup_recomputed(spark, registry):
+    """Full serial recompute of the SemDeDup pipeline: centroid
+    assignment, within-cell cosine pairs at the 0.35 threshold,
+    union-find closure, min-id keeper — every row's (cell, sem_cluster,
+    is_kept) must match, and both keeper outcomes must occur."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def h32(s, salt):
+        return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:8], 16)
+
+    emb = {
+        r.vec_id: [round(float(x) * 10000) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    cents = {
+        c: [5000 if h32(f"{c}:{i}", "ivf") % 2 == 1 else -5000 for i in range(64)]
+        for c in range(8)
+    }
+    cell = {
+        v: max(cents, key=lambda c: (sum(a * b for a, b in zip(e, cents[c])), -c))
+        for v, e in emb.items()
+    }
+    by_cell = defaultdict(list)
+    for v in sorted(emb):
+        by_cell[cell[v]].append(v)
+    parent = {v: v for v in emb}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n2 = {v: sum(x * x for x in e) for v, e in emb.items()}
+    for vs in by_cell.values():
+        for i, a in enumerate(vs):
+            for b in vs[i + 1 :]:
+                dot = sum(x * y for x, y in zip(emb[a], emb[b]))
+                cos = math.floor(10000.0 * dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])))
+                if cos >= 3500:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    rows = registry["emb_semdedup"].spark(spark, SF).collect()
+    assert len(rows) == len(emb)
+    kept_flags = set()
+    for r in rows:
+        root = find(r.vec_id)
+        assert r.cell == cell[r.vec_id], r.vec_id
+        assert r.sem_cluster == root, r.vec_id
+        assert r.is_kept == (root == r.vec_id), r.vec_id
+        kept_flags.add(r.is_kept)
+    assert kept_flags == {True, False}
