@@ -233,14 +233,20 @@ def test_decon_eval_set_is_broadcast(spark, registry):
 
 
 def test_boilerplate_spans_single_agg_exchange(spark, registry):
-    """decon_boilerplate_spans is one partial-aggregated groupBy: the
-    plan must contain exactly one shuffle exchange and a partial
-    HashAggregate below it."""
+    """decon_boilerplate_spans: exactly two exchanges — the documented
+    repartition-to-cores of the raw text (CPU-dense shingle stage) and
+    ONE partial-aggregated groupBy; the shingle lists themselves never
+    shuffle. The explode must be the outer form (no Generate pre-filter
+    re-evaluating the interpreted shingle expression)."""
     plan = _plan(registry["decon_boilerplate_spans"].spark(spark, _SF))
     # formatted explain names each node twice (tree + detail section):
-    # count the detail headers only
-    assert plan.count("Exchange (") == 1
+    # count the tree headers only
+    assert plan.count("Exchange (") == 2
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
     assert "partial_count" in plan
+    # Generate's outer flag prints as `explode(gs#N), true, [gram#M]`
+    gen = next(ln for ln in plan.splitlines() if ln.startswith("Arguments: explode("))
+    assert ", true, [" in gen, gen
 
 
 def test_caption_align_map_only(spark, registry):
