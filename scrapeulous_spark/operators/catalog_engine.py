@@ -710,7 +710,9 @@ def img_admission_gate(spark, sf):
     engines compare exact ints), lossless-format whitelist, and
     caption token floor — each rule emitted as its own flag plus the
     conjunction, so downstream stages can relax one rule without
-    re-scanning.
+    re-scanning. Flag expressions live in admission_flags() and are
+    shared verbatim with the streaming twin
+    (streaming/image_stream.py).
 
     On this corpus w/h are uniform 32x24, so size_ok/aspect_ok are
     constant by construction — the oracle still verifies the rule
@@ -723,6 +725,13 @@ def img_admission_gate(spark, sf):
     test), no shuffle anywhere, and when this gate runs as stage 1 of
     a curation pipeline (cheapest cut first) the admitted predicate
     pushes to the scan."""
+    return apply_admission_gate(_corpus(spark, "images"))
+
+
+def admission_flags() -> dict:
+    """The four admission rules as named column expressions — one
+    definition for the batch query, the composed curation pipelines,
+    and the streaming twin."""
     caps = F.size(F.split(F.trim("caption"), r"\s+"))
     size_ok = (F.col("w") >= _IMG_MIN_DIM) & (F.col("h") >= _IMG_MIN_DIM)
     aspect_ok = (
@@ -730,14 +739,21 @@ def img_admission_gate(spark, sf):
     )
     fmt_ok = F.col("fmt") == "png"
     cap_ok = F.col("caption").isNotNull() & (caps >= _CAP_MIN_TOKENS)
-    return _corpus(spark, "images").select(
+    return {
+        "size_ok": size_ok,
+        "aspect_ok": aspect_ok,
+        "fmt_ok": fmt_ok,
+        "cap_ok": cap_ok,
+        "admitted": size_ok & aspect_ok & fmt_ok & cap_ok,
+    }
+
+
+def apply_admission_gate(images: "DataFrame") -> "DataFrame":
+    flags = admission_flags()
+    return images.select(
         "image_id",
         "w",
         "h",
         "fmt",
-        size_ok.alias("size_ok"),
-        aspect_ok.alias("aspect_ok"),
-        fmt_ok.alias("fmt_ok"),
-        cap_ok.alias("cap_ok"),
-        (size_ok & aspect_ok & fmt_ok & cap_ok).alias("admitted"),
+        *[expr.alias(name) for name, expr in flags.items()],
     )

@@ -151,3 +151,78 @@ def test_stream_sessionize_matches_batch_sessions(spark):
     # by the equality above; here just pin that sessions are gap-valid
     for r in got[:50]:
         assert (r.session_end - r.session_start) >= datetime.timedelta(minutes=30)
+
+
+def test_stream_image_admission_and_curation_match_batch(spark):
+    """The streaming image pipeline (gate -> decode) must emit exactly
+    the batch results on the same corpus files: admission flags for
+    every image (stateless projection twin of img_admission_gate) and
+    decoded feature rows ONLY for admitted images, split across
+    micro-batches (maxFilesPerTrigger=1 over several input files)."""
+    import shutil
+
+    from scrapeulous_spark.operators import load_all_catalogs
+    from scrapeulous_spark.operators.multimodal import image_features
+    from scrapeulous_spark.streaming.image_stream import (
+        read_image_stream,
+        stream_image_admission,
+        stream_image_curation,
+    )
+
+    paths = ensure_corpus(SMOKE)
+    reg = load_all_catalogs()
+    with tempfile.TemporaryDirectory() as d:
+        # several files => several micro-batches
+        imgs = pq.read_table(paths["images"])
+        n = imgs.num_rows
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        for i, lo in enumerate(range(0, n, 25)):
+            pq.write_table(imgs.slice(lo, 25), os.path.join(src, f"part{i}.parquet"))
+
+        stream = read_image_stream(spark, src, max_files_per_trigger=1)
+        got_gate = {
+            r.image_id: r
+            for r in run_to_completion(
+                stream_image_admission(stream), os.path.join(d, "ck1")
+            ).collect()
+        }
+        want_gate = {
+            r.image_id: r for r in reg["img_admission_gate"].spark(spark, "x").collect()
+        }
+        assert set(got_gate) == set(want_gate)
+        for iid, w in want_gate.items():
+            g = got_gate[iid]
+            assert (g.size_ok, g.aspect_ok, g.fmt_ok, g.cap_ok, g.admitted) == (
+                w.size_ok, w.aspect_ok, w.fmt_ok, w.cap_ok, w.admitted
+            ), iid
+
+        stream2 = read_image_stream(spark, src, max_files_per_trigger=1)
+        got_cur = {
+            r.image_id: r
+            for r in run_to_completion(
+                stream_image_curation(stream2), os.path.join(d, "ck2")
+            ).collect()
+        }
+        batch_imgs = spark.read.parquet(paths["images"])
+        from scrapeulous_spark.operators.catalog_engine import admission_flags
+
+        want_cur = {
+            r.image_id: r
+            for r in image_features(
+                batch_imgs.filter(admission_flags()["admitted"]),
+                passthrough=("caption",),
+            ).collect()
+        }
+        assert set(got_cur) == set(want_cur)
+        admitted_ids = {i for i, r in want_gate.items() if r.admitted}
+        assert set(got_cur) == admitted_ids and 0 < len(admitted_ids) < n
+        for iid, w in want_cur.items():
+            g = got_cur[iid]
+            assert (
+                g.mean_r_x1000, g.mean_g_x1000, g.mean_b_x1000,
+                g.std_gray_x1000, g.phash, g.caption,
+            ) == (
+                w.mean_r_x1000, w.mean_g_x1000, w.mean_b_x1000,
+                w.std_gray_x1000, w.phash, w.caption,
+            ), iid
