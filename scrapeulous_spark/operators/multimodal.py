@@ -375,3 +375,39 @@ def img_shard_pack(spark, sf):
         cum.alias("cum_bytes"),
         F.floor((cum - 1) / _SHARD_BYTES).cast("bigint").alias("shard_id"),
     )
+
+
+# ------------------------------------------------------------- exact dedup
+def _bytes_dedup_sql() -> str:
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    img = ensure_corpus(SMOKE)["images"]
+    # DuckDB's md5 is VARCHAR-only — both engines digest the UPPERCASE
+    # hex expansion of the payload so the twin compares like for like
+    return f"""SELECT md5(hex(bytes)) AS payload_digest,
+               min(image_id) AS representative,
+               count(*) AS n_copies
+        FROM read_parquet('{img}')
+        GROUP BY md5(hex(bytes))"""
+
+
+@register("img_dedup_bytes", _bytes_dedup_sql())
+def img_dedup_bytes(spark, sf):
+    """Stage-0 exact image dedup: group by the payload's content
+    digest (the LAION/DataComp 'URL+bytes dedup' step that runs before
+    any perceptual hashing). The md5 is computed map-side in the scan
+    projection, so the exchange carries (digest, image_id) pairs —
+    never the image bytes; at 10^10 rows this is the cheapest possible
+    dedup pass and the reason it runs FIRST in the composed curation
+    pipeline ordering."""
+    from pyspark.sql import functions as F
+
+    return (
+        _corpus_images(spark)
+        .select(F.md5(F.hex("bytes")).alias("payload_digest"), "image_id")
+        .groupBy("payload_digest")
+        .agg(
+            F.min("image_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -1563,3 +1563,68 @@ def emb_semdedup(spark, sf):
     )
     _CC_RESULT_CACHE[key] = res
     return res
+
+
+@register(
+    "text_rep_topgram",
+    r"""SELECT doc_id, n_toks,
+               coalesce(maxc, 0) AS top2_count,
+               CASE WHEN n_toks = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(1000.0 * (2 * coalesce(maxc, 0)) / n_toks)
+                              AS BIGINT) END AS rep_x1000
+        FROM (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+                 CAST(list_max(list_transform(list_distinct(gs),
+                        g -> len(list_filter(gs, x -> x = g)))) AS BIGINT) AS maxc
+          FROM (SELECT doc_id, t,
+                       list_transform(range(1, greatest(len(t), 1)),
+                                      i -> t[i] || ' ' || t[i+1]) AS gs
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS t
+                      FROM documents)))""",
+)
+def text_rep_topgram(spark, sf):
+    """Gopher-style repetition signal (Rae et al. '21 'duplicate
+    2-grams'): the fraction of a document's tokens covered by
+    occurrences of its single most frequent 2-gram, floor-scaled
+    x1000. Everything happens INSIDE the row with array expressions
+    (non-distinct bigram list, per-distinct-gram occurrence counts,
+    max) — a map-only plan with zero shuffles at any corpus size; the
+    O(g^2) count-per-distinct-gram is bounded by document length, not
+    corpus size. Same repartition-to-cores note as the decon shingle
+    stage applies when fed small files."""
+    t = F.split(F.trim("text"), r"\s+")
+    docs = T(spark, sf, "documents").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    base = docs.select("doc_id", t.alias("t"))
+    gs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat(
+                F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = base.select("doc_id", F.size("t").cast("bigint").alias("n_toks"), gs.alias("gs"))
+    maxc = F.array_max(
+        F.transform(
+            F.array_distinct("gs"),
+            lambda g: F.size(F.filter("gs", lambda x: x == g)),
+        )
+    ).cast("bigint")
+    rep = F.when(F.col("n_toks") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(1000.0 * (2 * F.coalesce(F.col("top2_count"), F.lit(0))) / F.col("n_toks")).cast(
+            "bigint"
+        )
+    )
+    return (
+        with_g.select("doc_id", "n_toks", maxc.alias("top2_count"))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("top2_count", F.lit(0)).alias("top2_count"),
+            rep.alias("rep_x1000"),
+        )
+    )

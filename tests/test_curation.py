@@ -425,3 +425,44 @@ def test_source_mix_recomputed(spark, registry):
     }
     got = {r.doc_id for r in registry["sample_mix_apply"].spark(spark, SF).collect()}
     assert got == want and 0 < len(got) < len(docs)
+
+
+def test_rep_topgram_recomputed(spark, registry):
+    """Top-2-gram repetition score recomputed serially per doc."""
+    from collections import Counter
+
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip())
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = registry["text_rep_topgram"].spark(spark, SF).collect()
+    assert {r.doc_id for r in rows} == set(docs)
+    for r in rows:
+        toks = docs[r.doc_id]
+        grams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        maxc = max(grams.values()) if grams else 0
+        want = 0 if not toks else int(1000 * 2 * maxc // len(toks))
+        assert r.n_toks == len(toks), r.doc_id
+        assert r.top2_count == maxc, r.doc_id
+        assert r.rep_x1000 == want, (r.doc_id, r.rep_x1000, want)
+
+
+def test_img_dedup_bytes_recomputed(spark, registry):
+    """Payload-digest dedup groups exactly by raw byte equality."""
+    import hashlib
+    from collections import defaultdict
+
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    groups = defaultdict(list)
+    for r in spark.read.parquet(ensure_corpus(SMOKE)["images"]).collect():
+        groups[hashlib.md5(bytes(r.bytes).hex().upper().encode()).hexdigest()].append(
+            r.image_id
+        )
+    got = {
+        r.payload_digest: (r.representative, r.n_copies)
+        for r in registry["img_dedup_bytes"].spark(spark, SF).collect()
+    }
+    assert got == {d: (min(ids), len(ids)) for d, ids in groups.items()}
