@@ -1628,3 +1628,72 @@ def text_rep_topgram(spark, sf):
             rep.alias("rep_x1000"),
         )
     )
+
+
+_QBINS = 10
+
+
+@register(
+    "sample_quality_bins",
+    rf"""WITH t AS (
+           SELECT doc_id,
+                  CAST(floor(1000.0 * len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> list_contains(['{_STOP_SQL}'], x)))
+                             / len(string_split_regex(trim(text), '\s+')))
+                       AS BIGINT) AS score
+           FROM documents),
+        r AS (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score, doc_id) AS rn,
+                     count(*) OVER () AS n
+              FROM t)
+        SELECT doc_id, score,
+               CAST(floor({_QBINS}.0 * (rn - 1) / n) AS BIGINT) AS qbin
+        FROM r""",
+)
+def sample_quality_bins(spark, sf):
+    """Curriculum binning: exact decile assignment of documents by
+    quality score (stopword density proxy), ties broken by doc_id —
+    the 'sort corpus by quality, feed bins in order' curriculum stage.
+
+    Scale shape (10^10 docs): the oracle's row_number() OVER (ORDER BY
+    ...) is a single-task global sort window; this op computes the
+    identical rank with the same two-pass distributed pattern as
+    img_shard_pack — repartitionByRange on the order key keeps the
+    sort distributed, per-partition row_number + broadcast partition
+    offsets reconstruct the global rank exactly, invariant to where
+    RangePartitioner's sampled boundaries land (the persist pins
+    spark_partition_id across the two consumers). Bin edges come from
+    floor(k*(rn-1)/n), identical arithmetic in both engines."""
+    from .catalog import REGISTRY
+
+    score = (
+        REGISTRY["text_quality_score"]
+        .spark(spark, sf)
+        .select("doc_id", F.col("stopword_x1000").alias("score"))
+    )
+    parts = score.repartitionByRange(8, "score", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid").orderBy("score", "doc_id")
+    within = parts.withColumn("rn_in", F.row_number().over(w_in)).persist()
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        within.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
+            F.sum("cnt").over(w_all).alias("n_total"),
+        )
+    )
+    rn = F.col("offset") + F.col("rn_in")
+    return within.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "score",
+        F.floor(float(_QBINS) * (rn - 1) / F.col("n_total")).cast("bigint").alias("qbin"),
+    )

@@ -466,3 +466,26 @@ def test_img_dedup_bytes_recomputed(spark, registry):
         for r in registry["img_dedup_bytes"].spark(spark, SF).collect()
     }
     assert got == {d: (min(ids), len(ids)) for d, ids in groups.items()}
+
+
+def test_quality_bins_recomputed(spark, registry):
+    """Exact decile assignment: global rank recomputed serially from
+    the quality scores with the same (score, doc_id) tie-break; every
+    bin must be populated and sizes may differ by at most 1."""
+    from collections import Counter
+
+    scores = {
+        r.doc_id: r.stopword_x1000
+        for r in registry["text_quality_score"].spark(spark, SF).collect()
+    }
+    order = sorted(scores, key=lambda d: (scores[d], d))
+    n = len(order)
+    want = {d: (10 * i) // n for i, d in enumerate(order)}
+    rows = registry["sample_quality_bins"].spark(spark, SF).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r.score == scores[r.doc_id], r.doc_id
+        assert r.qbin == want[r.doc_id], (r.doc_id, r.qbin, want[r.doc_id])
+    sizes = Counter(r.qbin for r in rows)
+    assert set(sizes) == set(range(10))
+    assert max(sizes.values()) - min(sizes.values()) <= 1

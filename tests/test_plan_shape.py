@@ -281,3 +281,27 @@ def test_mix_apply_broadcasts_weights(spark, registry):
     tree = plan.split("(1) Scan parquet")[0]
     big_side = tree.split("BroadcastExchange")[0]
     assert "Exchange" not in big_side.split("BroadcastHashJoin")[1]
+
+
+def test_rep_topgram_single_repartition_exchange(spark, registry):
+    """text_rep_topgram claims in-row computation: the only exchange is
+    the documented repartition-to-cores of the raw text — no aggregate
+    or join shuffle anywhere."""
+    plan = _plan(registry["text_rep_topgram"].spark(spark, _SF))
+    assert plan.count("Exchange (") == 1
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_img_dedup_bytes_never_shuffles_payload(spark, registry):
+    """img_dedup_bytes: the digest groupBy's exchange must carry
+    (digest, image_id) only — the binary payload is consumed map-side
+    by the md5 projection and never crosses the shuffle."""
+    plan = _plan(registry["img_dedup_bytes"].spark(spark, _SF))
+    assert "partial_min" in plan or "partial_count" in plan
+    ex_inputs = [
+        ln
+        for i, ln in enumerate(plan.splitlines())
+        if ln.startswith("Input") and "Exchange" in plan.splitlines()[i - 1]
+    ]
+    assert ex_inputs and all("bytes" not in ln for ln in ex_inputs), ex_inputs
