@@ -1697,3 +1697,42 @@ def sample_quality_bins(spark, sf):
         "score",
         F.floor(float(_QBINS) * (rn - 1) / F.col("n_total")).cast("bigint").alias("qbin"),
     )
+
+
+_DF_TOPK = 50
+
+
+@register(
+    "text_df_topk",
+    rf"""SELECT token, n_docs, rank FROM (
+          SELECT token, n_docs,
+                 row_number() OVER (ORDER BY n_docs DESC, token) AS rank
+          FROM (SELECT token, count(*) AS n_docs
+                FROM (SELECT doc_id, unnest(list_distinct(
+                        string_split_regex(trim(text), '\s+'))) AS token
+                      FROM documents)
+                GROUP BY token))
+        WHERE rank <= {_DF_TOPK}""",
+)
+def text_df_topk(spark, sf):
+    """Document-frequency heavy hitters: the top-k tokens by number of
+    documents containing them (tokenizer/vocab prep + stopword-mining
+    stage). Within-doc dedup is in-row (array_distinct before the
+    explode — no corpus-wide DISTINCT exchange), the count partial-
+    aggregates map-side, and the top-k is a TakeOrderedAndProject
+    (per-partition partial top-k, only k rows per partition reach the
+    driver-side merge) — never a full global sort. At 10^10 docs the
+    exchange carries one row per distinct token."""
+    toks = (
+        T(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("token"),
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    top = counts.orderBy(F.col("n_docs").desc(), "token").limit(_DF_TOPK)
+    w = Window.orderBy(F.col("n_docs").desc(), "token")
+    # rank window runs on <= k rows post-limit (provably tiny — the
+    # same documented-benign case as sim_cosine_topk)
+    return top.select("token", "n_docs", F.row_number().over(w).alias("rank"))

@@ -489,3 +489,19 @@ def test_quality_bins_recomputed(spark, registry):
     sizes = Counter(r.qbin for r in rows)
     assert set(sizes) == set(range(10))
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_df_topk_recomputed(spark, registry):
+    """Document-frequency top-k recomputed serially (distinct tokens
+    per doc, count docs per token, (n_docs desc, token) order)."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    df_counts = Counter()
+    for r in docs:
+        for tok in set(re.split(r"\s+", r.text.strip())):
+            df_counts[tok] += 1
+    want = sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    rows = sorted(registry["text_df_topk"].spark(spark, SF).collect(), key=lambda r: r.rank)
+    assert [(r.token, r.n_docs) for r in rows] == want
+    assert [r.rank for r in rows] == list(range(1, len(want) + 1))

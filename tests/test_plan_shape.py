@@ -305,3 +305,11 @@ def test_img_dedup_bytes_never_shuffles_payload(spark, registry):
         if ln.startswith("Input") and "Exchange" in plan.splitlines()[i - 1]
     ]
     assert ex_inputs and all("bytes" not in ln for ln in ex_inputs), ex_inputs
+
+
+def test_df_topk_partial_topk(spark, registry):
+    """text_df_topk must plan the top-k as TakeOrderedAndProject
+    (partial per-partition top-k), not a global Sort."""
+    plan = _plan(registry["text_df_topk"].spark(spark, _SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
