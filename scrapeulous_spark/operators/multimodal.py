@@ -411,3 +411,56 @@ def img_dedup_bytes(spark, sf):
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# ------------------------------------------------------------- safety
+# LAION-style caption safety gate. A production pipeline uses a large
+# blocklist (plus a classifier); the sandbox stand-in keeps the
+# operator shape — token-level, case-insensitive matching with the
+# matched terms surfaced for audit — over a two-word placeholder list
+# drawn from the corpus vocabulary so the gate actually splits rows.
+
+_CAPTION_BLOCKLIST = ("lantern", "bridge")  # placeholder terms
+
+
+def _safety_sql() -> str:
+    from ..sources.corpus import SMOKE, ensure_corpus
+
+    img = ensure_corpus(SMOKE)["images"]
+    bl = ", ".join(f"'{w}'" for w in _CAPTION_BLOCKLIST)
+    return rf"""WITH m AS (
+          SELECT image_id,
+                 list_filter(string_split_regex(trim(caption), '\s+'),
+                             x -> list_contains([{bl}], lower(x))) AS hits
+          FROM read_parquet('{img}'))
+        SELECT image_id,
+               CAST(len(hits) AS BIGINT) AS n_matched,
+               CASE WHEN len(hits) = 0 THEN NULL
+                    ELSE list_aggregate(hits, 'min') END AS matched_term,
+               len(hits) = 0 AS safe
+        FROM m"""
+
+
+@register("filt_caption_safety", _safety_sql())
+def filt_caption_safety(spark, sf):
+    """Caption safety blocklist gate (the LAION safety-filter stage
+    shape): token-level case-insensitive matching, matched terms
+    surfaced (count + lexicographic-min term) for audit, `safe` flag
+    for the admission conjunction. Map-only metadata projection — the
+    bytes payload is never read, no shuffle at any scale; a real
+    blocklist would broadcast as a set inside the same expression."""
+    from pyspark.sql import functions as F
+
+    bl = F.array(*[F.lit(w) for w in _CAPTION_BLOCKLIST])
+    hits = F.filter(
+        F.split(F.trim("caption"), r"\s+"),
+        lambda x: F.array_contains(bl, F.lower(x)),
+    )
+    return _corpus_images(spark).select(
+        "image_id",
+        F.size(hits).cast("bigint").alias("n_matched"),
+        F.when(F.size(hits) == 0, F.lit(None).cast("string"))
+        .otherwise(F.array_min(hits))
+        .alias("matched_term"),
+        (F.size(hits) == 0).alias("safe"),
+    )

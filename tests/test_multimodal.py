@@ -122,3 +122,31 @@ def test_caption_align_recomputed(spark):
         assert got.aligned == (want >= 850)
         flags.add(got.aligned)
     assert flags == {True, False}
+
+
+def test_caption_safety_recomputed(spark):
+    """Blocklist gate recomputed serially; both outcomes present."""
+    import re as _re
+
+    from scrapeulous_spark.operators import load_all_catalogs
+    from scrapeulous_spark.operators.multimodal import _CAPTION_BLOCKLIST
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    reg = load_all_catalogs()
+    rows = {r.image_id: r for r in reg["filt_caption_safety"].spark(spark, "x").collect()}
+    caps = spark.read.parquet(ensure_corpus(SMOKE)["images"]).select(
+        "image_id", "caption"
+    ).collect()
+    assert len(rows) == len(caps)
+    seen_flags = set()
+    for c in caps:
+        hits = [
+            t for t in _re.split(r"\s+", c.caption.strip())
+            if t.lower() in _CAPTION_BLOCKLIST
+        ]
+        r = rows[c.image_id]
+        assert r.n_matched == len(hits), c.image_id
+        assert r.matched_term == (min(hits) if hits else None), c.image_id
+        assert r.safe == (not hits)
+        seen_flags.add(r.safe)
+    assert seen_flags == {True, False}
