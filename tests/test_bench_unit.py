@@ -111,3 +111,39 @@ def test_profile_attribution_interval_union_and_totals():
     assert [round(j["dur_s"], 1) for j in r["jobs"]] == [15.0, 10.0, 4.0]
     assert r["jobs"][0]["pool"] == "extract"
     assert r["jobs"][0]["task_s"] == 12.0
+
+
+def test_cleanest_pair_efficiency_selects_by_contention_not_ratio():
+    """The reported pair is the one with the smallest normalized wall
+    (least contended window), even when a noisier pair carries a
+    HIGHER ratio — the estimator must not be pass-seeking. Orphan legs
+    from a half-finished round are ignored."""
+    from bench import cleanest_pair_efficiency
+
+    def leg(w):
+        return {"wall_sec_all_runs": [w]}
+
+    per_level = {
+        # pair 0: clean window  (w4=80, w1=320)  -> eff 1.000, cost 640
+        # pair 1: noisy window  (w4=100, w1=450) -> eff 1.125, cost 850
+        4: [leg(80.0), leg(100.0), leg(70.0)],  # 3rd leg is an orphan
+        1: [leg(320.0), leg(450.0)],
+    }
+    eff, effs = cleanest_pair_efficiency(per_level)
+    assert effs == [1.0, 1.125]
+    assert eff == 1.0  # clean pair wins despite the lower ratio
+
+
+def test_cleanest_pair_matches_sandbox_recordings():
+    """2026-08-20 regression: global minima across windows read 0.726
+    while the same-window pairs read ~0.89 — the pair estimator must
+    reproduce the pair number, not the mixed one."""
+    from bench import cleanest_pair_efficiency
+
+    per_level = {
+        4: [{"wall_sec_all_runs": [126.21, 140.9]}],
+        1: [{"wall_sec_all_runs": [366.54]}],
+    }
+    eff, effs = cleanest_pair_efficiency(per_level)
+    # one pair: min of that pair's own runs
+    assert abs(eff - 366.54 / (4 * 126.21)) < 1e-9
