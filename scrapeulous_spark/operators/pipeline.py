@@ -1736,3 +1736,118 @@ def text_df_topk(spark, sf):
     # rank window runs on <= k rows post-limit (provably tiny — the
     # same documented-benign case as sim_cosine_topk)
     return top.select("token", "n_docs", F.row_number().over(w).alias("rank"))
+
+
+# =====================================================================
+# OLAP operator families: rollup, pivot, range join
+# =====================================================================
+
+_LANGS = ("de", "en", "es", "fr", "zh")  # closed set in the testdata
+
+
+@register(
+    "agg_source_rollup",
+    """SELECT coalesce(source, '(all)') AS source,
+              coalesce(lang, '(all)') AS lang,
+              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY ROLLUP (source, lang)""",
+)
+def agg_source_rollup(spark, sf):
+    """Hierarchical totals via ROLLUP(source, lang): per-(source,lang)
+    rows plus per-source subtotals plus the grand total in ONE pass —
+    Spark plans a single Expand + hash aggregate, so the corpus is
+    scanned once and the exchange carries (grouping-set key, partials),
+    not three separate aggregations. NULL grouping markers are
+    coalesced to '(all)' so both engines hash the same values."""
+    df = T(spark, sf, "documents")
+    return (
+        df.rollup("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "chars",
+        )
+    )
+
+
+@register(
+    "agg_lang_pivot",
+    f"""SELECT source,
+           {", ".join(f"count(*) FILTER (lang = '{lg}') AS n_{lg}" for lg in _LANGS)}
+        FROM documents GROUP BY source""",
+)
+def agg_lang_pivot(spark, sf):
+    """Wide per-source language histogram via pivot with an EXPLICIT
+    value list — the closed value list is what keeps pivot scalable:
+    Spark skips the extra distinct-values job and plans one aggregate
+    with k conditional counts (same shape as the oracle's FILTER
+    aggregates), so the exchange is one row per source, k columns. An
+    open-ended pivot would first shuffle to discover the column set —
+    the anti-pattern at 10^10 rows."""
+    df = T(spark, sf, "documents")
+    pivoted = (
+        df.groupBy("source").pivot("lang", list(_LANGS)).agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells NULL; the oracle's FILTER counts give 0
+    return pivoted.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(f"n_{lg}") for lg in _LANGS],
+    )
+
+
+@register(
+    "join_event_session_range",
+    f"""WITH brk AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM brk),
+        bounds AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                 min(ts) AS s_start, max(ts) AS s_end
+          FROM sess GROUP BY user_id, session_seq)
+        SELECT e.event_id, e.user_id, b.session_seq
+        FROM events e JOIN bounds b
+          ON e.user_id = b.user_id AND e.ts >= b.s_start AND e.ts <= b.s_end""",
+)
+def join_event_session_range(spark, sf):
+    """Range join: assign raw events to session intervals by
+    (user_id equi-key + ts BETWEEN bounds) — the standard 'enrich
+    facts with interval dims' shape. The equi-key is what makes it
+    scale: Spark plans a hash/sort-merge join on user_id with the
+    range as a join residual, so each task compares only one user's
+    events against that user's handful of intervals — never the
+    BroadcastNestedLoopJoin an equi-key-less range join degenerates
+    to. Interval bounds reuse agg_event_sessionize's exact window
+    logic (gap, tie-break), so every event joins back to precisely
+    the session that produced it — the test invariant."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    is_new = (
+        prev_ms.isNull() | (ms - prev_ms > _SESSION_GAP_MIN * 60_000)
+    ).cast("bigint")
+    events = T(spark, sf, "events").select("event_id", "user_id", "ts")
+    sess = events.select(
+        "user_id", "ts", "event_id", is_new.alias("is_new")
+    ).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    return (
+        events.join(bounds, "user_id")
+        .filter((F.col("ts") >= F.col("s_start")) & (F.col("ts") <= F.col("s_end")))
+        .select("event_id", "user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
+    )
