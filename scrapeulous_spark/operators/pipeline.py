@@ -1779,21 +1779,23 @@ def agg_source_rollup(spark, sf):
         FROM documents GROUP BY source""",
 )
 def agg_lang_pivot(spark, sf):
-    """Wide per-source language histogram via pivot with an EXPLICIT
-    value list — the closed value list is what keeps pivot scalable:
-    Spark skips the extra distinct-values job and plans one aggregate
-    with k conditional counts (same shape as the oracle's FILTER
-    aggregates), so the exchange is one row per source, k columns. An
-    open-ended pivot would first shuffle to discover the column set —
-    the anti-pattern at 10^10 rows."""
+    """Wide per-source language histogram: pivot semantics with an
+    EXPLICIT closed value list, implemented as k conditional counts in
+    ONE aggregate (same shape as the oracle's FILTER aggregates) so
+    the plan is partial-agg -> one Exchange -> final-agg. Both
+    alternatives are worse at 10^10 rows: `DataFrame.pivot` with the
+    same value list still plans TWO exchanges (agg over (source,lang),
+    then a PivotFirst re-aggregate over source), and an open-ended
+    pivot additionally runs a distinct-values discovery job first.
+    Plan shape locked by test_plan_shape.py."""
     df = T(spark, sf, "documents")
-    pivoted = (
-        df.groupBy("source").pivot("lang", list(_LANGS)).agg(F.count(F.lit(1)))
-    )
-    # pivot leaves missing cells NULL; the oracle's FILTER counts give 0
-    return pivoted.select(
-        "source",
-        *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(f"n_{lg}") for lg in _LANGS],
+    return df.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("lang") == lg, F.lit(1)))
+            .cast("bigint")
+            .alias(f"n_{lg}")
+            for lg in _LANGS
+        ]
     )
 
 

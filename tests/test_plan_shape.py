@@ -313,3 +313,39 @@ def test_df_topk_partial_topk(spark, registry):
     plan = _plan(registry["text_df_topk"].spark(spark, _SF))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_rollup_single_scan_single_exchange(spark, registry):
+    """agg_source_rollup: ROLLUP must plan as ONE scan feeding an
+    Expand + partial/final aggregate pair around a single exchange —
+    never three separate aggregations unioned (three scans of a
+    10^10-row corpus)."""
+    plan = _plan(registry["agg_source_rollup"].spark(spark, _SF))
+    assert "Expand (" in plan
+    # tree headers only (formatted explain repeats nodes in details)
+    assert plan.count("Exchange (") == 1
+    assert plan.count("Scan parquet") // 2 == 1  # tree + detail header
+    assert "partial_count" in plan
+
+
+def test_lang_pivot_single_exchange(spark, registry):
+    """agg_lang_pivot: the explicit-value-list pivot is implemented as
+    k conditional counts in one aggregate, so the plan must carry ONE
+    exchange of (source, k partials) — not DataFrame.pivot's
+    agg-then-PivotFirst double shuffle."""
+    plan = _plan(registry["agg_lang_pivot"].spark(spark, _SF))
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan
+
+
+def test_session_range_join_stays_equi_keyed(spark, registry):
+    """join_event_session_range: the interval assignment must plan as
+    a hash/merge join on the user_id equi-key with the ts range as a
+    join residual — the moment it degenerates to a nested-loop or
+    cartesian plan it is quadratic in events and dead at scale."""
+    plan = _plan(registry["join_event_session_range"].spark(spark, _SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
