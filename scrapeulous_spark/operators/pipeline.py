@@ -1853,3 +1853,149 @@ def join_event_session_range(spark, sf):
         .filter((F.col("ts") >= F.col("s_start")) & (F.col("ts") <= F.col("s_end")))
         .select("event_id", "user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
     )
+
+
+@register(
+    "agg_event_rolling_rate",
+    """SELECT event_id, user_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+                AS n_trailing_10m
+       FROM events""",
+)
+def agg_event_rolling_rate(spark, sf):
+    """Trailing-interval rate accounting: for every event, how many
+    events the same user produced in the last 10 minutes (inclusive) —
+    the exact window-function shape the north rule's per-host
+    politeness budget uses (gate_proxy_pool applies it to proxies;
+    this is the generic time-RANGE form). Physically one shuffle on
+    the partition key and a streaming sort-based window whose frame
+    is bounded by TIME, so per-row state is capped by the actual event
+    rate — never O(history). RANGE (not ROWS) makes millisecond ties
+    frame-peers in both engines, keeping the count order-independent
+    under shuffle nondeterminism."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000, 0)
+    )
+    return T(spark, sf, "events").select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_trailing_10m")
+    )
+
+
+_PCTS = (50, 95, 99)  # percentile targets, as integer hundredths
+
+
+@register(
+    "agg_value_percentiles",
+    f"""WITH v AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn
+          FROM events),
+        n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        t AS (SELECT event_type, p, ((n - 1) * p) // 100 AS rl, ((n - 1) * p) % 100 AS fr
+              FROM n, (VALUES {", ".join(f"({p})" for p in _PCTS)}) AS ps(p)),
+        pick AS (
+          SELECT t.event_type, t.p, t.fr,
+                 max(CASE WHEN v.rn = t.rl THEN v.vc END) AS lo,
+                 max(CASE WHEN v.rn = t.rl + 1 THEN v.vc END) AS hi
+          FROM t JOIN v ON v.event_type = t.event_type
+                       AND (v.rn = t.rl OR v.rn = t.rl + 1)
+          GROUP BY t.event_type, t.p, t.fr),
+        res AS (
+          SELECT event_type, p,
+                 CASE WHEN fr = 0 THEN lo * 100
+                      ELSE lo * (100 - fr) + hi * fr END AS val
+          FROM pick)
+       SELECT event_type,
+              {", ".join(f"max(CASE WHEN p = {p} THEN val END) AS p{p}_e4" for p in _PCTS)}
+       FROM res GROUP BY event_type""",
+)
+def agg_value_percentiles(spark, sf):
+    """Distributed EXACT percentiles (p50/p95/p99 of value per
+    event_type), percentile_cont semantics — without the scale bug in
+    Spark's exact `percentile()` aggregate, which buffers every group
+    value in executor memory (OOM at 10^10 rows). Instead: (1) a
+    streaming sort-based row_number window ranks values per group —
+    no buffering; (2) a tiny count aggregate derives each target's
+    bracketing ranks; (3) the rank targets broadcast-join back onto
+    the ranked rows, keeping <= 2 rows per (group, percentile); (4)
+    linear interpolation runs in scaled-integer space (value fixed to
+    cents x weight out of 100 => value x 10^4 as BIGINT), so the
+    result is exact and engine/shuffle-order independent per the
+    module's no-raw-doubles rule."""
+    ev = T(spark, sf, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).withColumn("rn", F.row_number().over(w).cast("bigint") - 1)
+    # alias the group key on the build side: both inputs descend from
+    # the same scan, and a same-name self-join condition is resolved by
+    # lineage guessing (Spark warns "trivially true equals predicate")
+    targets = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("event_type").alias("et"),
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("p"),
+        )
+        .select(
+            "et",
+            "p",
+            F.floor((F.col("n") - 1) * F.col("p") / 100).alias("rl"),
+            (((F.col("n") - 1) * F.col("p")) % 100).alias("fr"),
+        )
+    )
+    picked = ranked.join(
+        F.broadcast(targets),
+        on=[
+            F.col("event_type") == F.col("et"),
+            (F.col("rn") == F.col("rl")) | (F.col("rn") == F.col("rl") + 1),
+        ],
+    ).select("event_type", "vc", "rn", "p", "rl", "fr")
+    res = (
+        picked.groupBy("event_type", "p", "fr")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("rl"), F.col("vc"))).alias("lo"),
+            F.max(F.when(F.col("rn") == F.col("rl") + 1, F.col("vc"))).alias("hi"),
+        )
+        .select(
+            "event_type",
+            "p",
+            F.when(F.col("fr") == 0, F.col("lo") * 100)
+            .otherwise(F.col("lo") * (100 - F.col("fr")) + F.col("hi") * F.col("fr"))
+            .alias("val"),
+        )
+    )
+    return res.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("p") == p, F.col("val"))).alias(f"p{p}_e4")
+            for p in _PCTS
+        ]
+    )
+
+
+@register(
+    "setop_converted_users",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def setop_converted_users(spark, sf):
+    """Set intersection: users who both clicked AND purchased —
+    DataFrame.intersect, which Catalyst plans as a LEFT-SEMI join
+    (broadcast here; sort-merge at scale) followed by one
+    partial-aggregated distinct: the semi join emits each left row at
+    most once regardless of right-side multiplicity, so the single
+    exchange carries only the surviving keys. The naive alternative
+    (inner self-join then distinct) explodes duplicate pairs first
+    (m x n per hot user) and dedups after the shuffle — backwards at
+    10^10 rows."""
+    ev = T(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)

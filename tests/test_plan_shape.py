@@ -349,3 +349,33 @@ def test_session_range_join_stays_equi_keyed(spark, registry):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_rolling_rate_single_exchange_streaming_window(spark, registry):
+    """agg_event_rolling_rate: one shuffle on the partition key and a
+    sort-based time-RANGE window — no join, no second exchange. The
+    time-bounded frame is what caps per-row state at scale."""
+    plan = _plan(registry["agg_event_rolling_rate"].spark(spark, _SF))
+    assert plan.count("Exchange (") == 1
+    assert "Window (" in plan
+    assert "Join" not in plan
+
+
+def test_percentiles_rank_targets_broadcast(spark, registry):
+    """agg_value_percentiles: the exact-percentile plan must NOT buffer
+    groups (no `percentile(` aggregate anywhere); ranking is a
+    streaming window and the tiny rank-target side joins as the
+    broadcast build."""
+    plan = _plan(registry["agg_value_percentiles"].spark(spark, _SF))
+    assert "percentile" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window (" in plan
+
+
+def test_intersect_semi_join_no_pair_explosion(spark, registry):
+    """setop_converted_users: INTERSECT must plan as a left-SEMI join
+    (each left row emitted at most once) plus one distinct exchange —
+    never an inner self-join that multiplies duplicate keys."""
+    plan = _plan(registry["setop_converted_users"].spark(spark, _SF))
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange (") <= 2  # distinct agg + (at-scale) join shuffle
