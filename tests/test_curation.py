@@ -505,3 +505,60 @@ def test_df_topk_recomputed(spark, registry):
     rows = sorted(registry["text_df_topk"].spark(spark, SF).collect(), key=lambda r: r.rank)
     assert [(r.token, r.n_docs) for r in rows] == want
     assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+
+
+def test_exact_percentiles_match_percentile_cont(spark, registry):
+    """The rank-based distributed percentile must reproduce Spark's
+    own percentile() (percentile_cont semantics, group-buffering
+    reference implementation) exactly in scaled-integer space — a
+    rank/interpolation bug the DuckDB twin could share (same SQL
+    shape) cannot survive this independent oracle."""
+    from pyspark.sql import functions as F
+
+    ours = {
+        r["event_type"]: (r["p50_e4"], r["p95_e4"], r["p99_e4"])
+        for r in registry["agg_value_percentiles"].spark(spark, SF).collect()
+    }
+    # reference: percentile() over values pre-scaled to exact cents, so
+    # its double interpolation (cents * fraction with <=2 digits) is
+    # exact and *10**4 has no representation error
+    ref_rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc"))
+        .groupBy("event_type")
+        .agg(F.percentile("vc", [0.50, 0.95, 0.99]).alias("ps"))
+        .collect()
+    )
+    ref = {
+        r["event_type"]: tuple(int(round(p * 100)) for p in r["ps"]) for r in ref_rows
+    }
+    assert ours == ref
+
+
+def test_rolling_rate_window_semantics(spark, registry):
+    """Trailing-10-min counts recomputed per user in plain Python over
+    the collected events: every event's count equals the number of
+    that user's events with ts in (ts - 10min, ts] — inclusive bounds,
+    millisecond precision, ties counted as peers."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_id"]: r["n_trailing_10m"]
+        for r in registry["agg_event_rolling_rate"].spark(spark, SF).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["ms"])
+    for r in rows:
+        peers = by_user[r["user_id"]]
+        want = sum(1 for m in peers if r["ms"] - 600_000 <= m <= r["ms"])
+        assert got[r["event_id"]] == want, r["event_id"]
