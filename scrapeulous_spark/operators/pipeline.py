@@ -1914,24 +1914,31 @@ _PCTS = (50, 95, 99)  # percentile targets, as integer hundredths
 )
 def agg_value_percentiles(spark, sf):
     """Distributed EXACT percentiles (p50/p95/p99 of value per
-    event_type), percentile_cont semantics — without the scale bug in
-    Spark's exact `percentile()` aggregate, which buffers every group
-    value in executor memory (OOM at 10^10 rows). Instead: (1) a
-    streaming sort-based row_number window ranks values per group —
-    no buffering; (2) a tiny count aggregate derives each target's
-    bracketing ranks; (3) the rank targets broadcast-join back onto
-    the ranked rows, keeping <= 2 rows per (group, percentile); (4)
-    linear interpolation runs in scaled-integer space (value fixed to
-    cents x weight out of 100 => value x 10^4 as BIGINT), so the
-    result is exact and engine/shuffle-order independent per the
-    module's no-raw-doubles rule."""
-    ev = T(spark, sf, "events").select("event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
-    ).withColumn("rn", F.row_number().over(w).cast("bigint") - 1)
+    event_type), percentile_cont semantics, as a HISTOGRAM over the
+    fixed-precision value domain — the only shape that survives both
+    exact-percentile scale bugs at once. Spark's `percentile()`
+    aggregate buffers every group value in executor memory (OOM at
+    10^10 rows); the naive fix — rank rows with a row_number window —
+    still funnels each group onto ONE task (event_type has a handful
+    of values, so that task sorts ~10^9 rows). Instead: (1) values
+    are fixed to cents and counted per (group, distinct cent) — a
+    map-side-combinable groupBy whose exchange is bounded by the VALUE
+    DOMAIN (~10^4-10^6 cents), not the row count; (2) a cumulative
+    count over each group's distinct cents (window over the histogram
+    rows only — the one per-group task now touches domain-sized data);
+    (3) broadcast rank targets pick each percentile's bracketing cents
+    by cumulative count; (4) linear interpolation runs in
+    scaled-integer space (cents x weight out of 100 => value x 10^4 as
+    BIGINT), so the result is exact and engine/shuffle-order
+    independent per the module's no-raw-doubles rule."""
+    ev = T(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    hist = ev.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("vc")
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
     # alias the group key on the build side: both inputs descend from
     # the same scan, and a same-name self-join condition is resolved by
     # lineage guessing (Spark warns "trivially true equals predicate")
@@ -1950,18 +1957,18 @@ def agg_value_percentiles(spark, sf):
             (((F.col("n") - 1) * F.col("p")) % 100).alias("fr"),
         )
     )
-    picked = ranked.join(
+    # rank rl's value (0-based) = first cent whose cumulative count
+    # exceeds rl; rank rl+1's likewise. Keeping only histogram rows
+    # that can bracket a target (cum > rl) bounds the re-aggregate.
+    picked = cum.join(
         F.broadcast(targets),
-        on=[
-            F.col("event_type") == F.col("et"),
-            (F.col("rn") == F.col("rl")) | (F.col("rn") == F.col("rl") + 1),
-        ],
-    ).select("event_type", "vc", "rn", "p", "rl", "fr")
+        on=[F.col("event_type") == F.col("et"), F.col("cum") > F.col("rl")],
+    ).select("event_type", "vc", "cum", "p", "rl", "fr")
     res = (
         picked.groupBy("event_type", "p", "fr")
         .agg(
-            F.max(F.when(F.col("rn") == F.col("rl"), F.col("vc"))).alias("lo"),
-            F.max(F.when(F.col("rn") == F.col("rl") + 1, F.col("vc"))).alias("hi"),
+            F.min(F.col("vc")).alias("lo"),
+            F.min(F.when(F.col("cum") > F.col("rl") + 1, F.col("vc"))).alias("hi"),
         )
         .select(
             "event_type",

@@ -363,13 +363,16 @@ def test_rolling_rate_single_exchange_streaming_window(spark, registry):
 
 def test_percentiles_rank_targets_broadcast(spark, registry):
     """agg_value_percentiles: the exact-percentile plan must NOT buffer
-    groups (no `percentile(` aggregate anywhere); ranking is a
-    streaming window and the tiny rank-target side joins as the
-    broadcast build."""
+    groups (no `percentile(` aggregate anywhere); the cumulative-count
+    window must consume the partial-aggregated per-cent HISTOGRAM (its
+    per-group task sees domain-sized data, never the raw rows), and the
+    tiny rank-target side joins as the broadcast build."""
     plan = _plan(registry["agg_value_percentiles"].spark(spark, _SF))
     assert "percentile" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Window (" in plan
+    # the histogram groupBy's map-side partial must sit below the window
+    assert "partial_count" in plan
 
 
 def test_intersect_semi_join_no_pair_explosion(spark, registry):
