@@ -562,3 +562,33 @@ def test_rolling_rate_window_semantics(spark, registry):
         peers = by_user[r["user_id"]]
         want = sum(1 for m in peers if r["ms"] - 600_000 <= m <= r["ms"])
         assert got[r["event_id"]] == want, r["event_id"]
+
+
+def test_session_range_join_partitions_events(spark, registry):
+    """Independent invariant for join_event_session_range (its DuckDB
+    twin shares the SQL shape, so a shared bounds bug would pass the
+    comparator): the intervals must PARTITION the events — every event
+    joins back to exactly one session — and per-user session counts
+    must agree with agg_event_sessionize."""
+    from pyspark.sql import functions as F
+
+    joined = registry["join_event_session_range"].spark(spark, SF).cache()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    # exactly one session per event: no row lost, no event in 2 intervals
+    assert joined.count() == n_events
+    assert joined.select("event_id").distinct().count() == n_events
+    sess_counts = {
+        (r["user_id"], r["n_sessions"])
+        for r in joined.groupBy("user_id")
+        .agg(F.countDistinct("session_seq").alias("n_sessions"))
+        .collect()
+    }
+    ref = {
+        (r["user_id"], r["n_sessions"])
+        for r in registry["agg_event_sessionize"]
+        .spark(spark, SF)
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_seq").alias("n_sessions"))
+        .collect()
+    }
+    assert sess_counts == ref
