@@ -382,3 +382,21 @@ def test_intersect_semi_join_no_pair_explosion(spark, registry):
     plan = _plan(registry["setop_converted_users"].spark(spark, _SF))
     assert "LeftSemi" in plan
     assert plan.count("Exchange (") <= 2  # distinct agg + (at-scale) join shuffle
+
+
+def test_bucketed_join_no_shuffle(spark, registry):
+    """join_user_stats_bucketed: with broadcast disabled (the 10^10-row
+    regime — neither side fits in memory), the join over the two
+    bucketed tables must plan as a SortMergeJoin with ZERO shuffle
+    exchanges: bucket co-location replaces both sides' exchanges.
+    Broadcast is left enabled in the operator itself so small inputs
+    still get the cheaper plan."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(registry["join_user_stats_bucketed"].spark(spark, _SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
