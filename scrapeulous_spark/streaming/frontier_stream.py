@@ -119,6 +119,50 @@ def stream_sessionize(
     )
 
 
+def stream_fetch_attribution(
+    requests: DataFrame,
+    responses: DataFrame,
+    max_lag: str = "15 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each fetch response to
+    the request that scheduled it — response within [request_ts,
+    request_ts + max_lag] on the same url. The canonical Structured
+    Streaming two-stream shape: watermarks on BOTH sides plus the
+    time-interval join condition are what let the state store expire
+    buffered rows (url-keyed state bounded by watermark + max_lag —
+    never unbounded); the url equality key is the shuffle partition
+    key, so both streams co-partition and each task joins one url
+    range. requests: (seed_id, url, event_ts); responses:
+    (url, status, resp_ts)."""
+    req = requests.withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    ).withWatermark("event_ts", watermark)
+    resp = (
+        responses.withColumnRenamed("url", "resp_url")
+        .withColumn("resp_ts", F.col("resp_ts").cast("timestamp"))
+        .withWatermark("resp_ts", watermark)
+    )
+    return req.join(
+        resp,
+        F.expr(
+            f"""url = resp_url
+                AND resp_ts >= event_ts
+                AND resp_ts <= event_ts + interval {max_lag}"""
+        ),
+        "inner",
+    ).select(
+        "seed_id",
+        "url",
+        "status",
+        "event_ts",
+        "resp_ts",
+        (
+            F.unix_millis(F.col("resp_ts")) - F.unix_millis(F.col("event_ts"))
+        ).alias("lag_ms"),
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """Drain all available input with availableNow and return the
     collected rows from a memory sink (test/driver harness helper)."""

@@ -226,3 +226,66 @@ def test_stream_image_admission_and_curation_match_batch(spark):
                 w.mean_r_x1000, w.mean_g_x1000, w.mean_b_x1000,
                 w.std_gray_x1000, w.phash, w.caption,
             ), iid
+
+
+def test_stream_stream_attribution_interval_join(spark):
+    """Stream-stream interval join: responses attribute to the request
+    within [event_ts, event_ts + 15s] on the same url; out-of-window
+    responses match nothing. Expected set recomputed in Python."""
+    import datetime
+    import tempfile
+
+    from scrapeulous_spark.streaming.frontier_stream import (
+        run_to_completion,
+        stream_fetch_attribution,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    reqs = [(i, f"http://h{i % 3}.example.com/p{i}", base + datetime.timedelta(seconds=i)) for i in range(12)]
+    # even requests answered 2s later (inside the 15s window); odd ones
+    # answered 40s later (outside); url p0 gets a SECOND response that
+    # must also attribute (both inside the window)
+    resps = [
+        (u, 200, ts + datetime.timedelta(seconds=2))
+        for (i, u, ts) in reqs
+        if i % 2 == 0
+    ] + [
+        (u, 503, ts + datetime.timedelta(seconds=40))
+        for (i, u, ts) in reqs
+        if i % 2 == 1
+    ] + [(reqs[0][1], 304, base + datetime.timedelta(seconds=9))]
+
+    rdir, pdir = tempfile.mkdtemp(prefix="req_"), tempfile.mkdtemp(prefix="resp_")
+    pq.write_table(
+        pa.table(
+            {
+                "seed_id": pa.array([r[0] for r in reqs], pa.int64()),
+                "url": pa.array([r[1] for r in reqs], pa.string()),
+                "event_ts": pa.array([r[2] for r in reqs], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(rdir, "reqs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in resps], pa.string()),
+                "status": pa.array([r[1] for r in resps], pa.int32()),
+                "resp_ts": pa.array([r[2] for r in resps], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(pdir, "resps.parquet"),
+    )
+    req_schema = "seed_id long, url string, event_ts timestamp"
+    resp_schema = "url string, status int, resp_ts timestamp"
+    req_stream = spark.readStream.schema(req_schema).parquet(rdir)
+    resp_stream = spark.readStream.schema(resp_schema).parquet(pdir)
+    joined = stream_fetch_attribution(req_stream, resp_stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = {
+            (r.seed_id, r.status, r.lag_ms)
+            for r in run_to_completion(joined, ckpt).collect()
+        }
+    want = {(i, 200, 2000) for (i, _u, _t) in reqs if i % 2 == 0}
+    want.add((0, 304, 9000))  # second in-window response for p0
+    assert got == want
