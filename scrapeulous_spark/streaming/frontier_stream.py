@@ -163,6 +163,46 @@ def stream_fetch_attribution(
     )
 
 
+def stream_fetch_timeouts(
+    requests: DataFrame,
+    responses: DataFrame,
+    max_lag: str = "15 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Timeout detection as a LEFT-OUTER stream-stream join: a request
+    row with a NULL response side means no response arrived within
+    max_lag — the streaming analog of the batch timeout_budget gate.
+    The outer semantics are the operationally subtle part: a null-match
+    can only be emitted once the RESPONSE watermark has passed
+    request_ts + max_lag (before that, the match could still arrive),
+    so timeout rows trail live traffic by watermark + max_lag — state
+    stays bounded for exactly the same reason. Emits every request
+    with matched=false for timeouts."""
+    req = requests.withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    ).withWatermark("event_ts", watermark)
+    resp = (
+        responses.withColumnRenamed("url", "resp_url")
+        .withColumn("resp_ts", F.col("resp_ts").cast("timestamp"))
+        .withWatermark("resp_ts", watermark)
+    )
+    return req.join(
+        resp,
+        F.expr(
+            f"""url = resp_url
+                AND resp_ts >= event_ts
+                AND resp_ts <= event_ts + interval {max_lag}"""
+        ),
+        "left_outer",
+    ).select(
+        "seed_id",
+        "url",
+        "event_ts",
+        F.col("resp_ts").isNotNull().alias("matched"),
+        "status",
+    )
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """Drain all available input with availableNow and return the
     collected rows from a memory sink (test/driver harness helper)."""

@@ -289,3 +289,71 @@ def test_stream_stream_attribution_interval_join(spark):
     want = {(i, 200, 2000) for (i, _u, _t) in reqs if i % 2 == 0}
     want.add((0, 304, 9000))  # second in-window response for p0
     assert got == want
+
+
+def test_stream_stream_timeout_left_outer(spark):
+    """Left-outer stream-stream join: requests with no response inside
+    the 15s window surface as matched=false once the response
+    watermark passes request_ts + max_lag. A far-future flush row on
+    the response stream advances the watermark so availableNow drains
+    every pending outer row deterministically."""
+    import datetime
+    import tempfile
+
+    from scrapeulous_spark.streaming.frontier_stream import (
+        run_to_completion,
+        stream_fetch_timeouts,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    reqs = [(i, f"http://h.example.com/p{i}", base + datetime.timedelta(seconds=i)) for i in range(8)]
+    # only even requests get an in-window response. The GLOBAL watermark
+    # is the min across all sources, so BOTH streams need a far-future
+    # flush row — it advances the watermark past every deadline and
+    # triggers the no-data batch that emits the pending outer rows. The
+    # flush request itself stays pending (its own deadline is beyond the
+    # watermark) and never surfaces.
+    flush_ts = base + datetime.timedelta(hours=2)
+    reqs_in = reqs + [(999, "http://flush.example.com/x", flush_ts)]
+    resps = [
+        (u, 200, ts + datetime.timedelta(seconds=1))
+        for (i, u, ts) in reqs
+        if i % 2 == 0
+    ] + [("http://flush.example.com/y", 0, flush_ts)]
+
+    rdir, pdir = tempfile.mkdtemp(prefix="treq_"), tempfile.mkdtemp(prefix="tresp_")
+    pq.write_table(
+        pa.table(
+            {
+                "seed_id": pa.array([r[0] for r in reqs_in], pa.int64()),
+                "url": pa.array([r[1] for r in reqs_in], pa.string()),
+                "event_ts": pa.array([r[2] for r in reqs_in], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(rdir, "reqs.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in resps], pa.string()),
+                "status": pa.array([r[1] for r in resps], pa.int32()),
+                "resp_ts": pa.array([r[2] for r in resps], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(pdir, "resps.parquet"),
+    )
+    req_stream = spark.readStream.schema(
+        "seed_id long, url string, event_ts timestamp"
+    ).parquet(rdir)
+    resp_stream = spark.readStream.schema(
+        "url string, status int, resp_ts timestamp"
+    ).parquet(pdir)
+    joined = stream_fetch_timeouts(req_stream, resp_stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        got = {
+            (r.seed_id, r.matched, r.status)
+            for r in run_to_completion(joined, ckpt).collect()
+        }
+    want = {(i, True, 200) for (i, _u, _t) in reqs if i % 2 == 0}
+    want |= {(i, False, None) for (i, _u, _t) in reqs if i % 2 == 1}
+    assert got == want
