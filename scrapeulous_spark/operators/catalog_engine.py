@@ -757,3 +757,38 @@ def apply_admission_gate(images: "DataFrame") -> "DataFrame":
         "fmt",
         *[expr.alias(name) for name, expr in flags.items()],
     )
+
+
+@register(
+    "fn_url_surt",
+    f"""SELECT url,
+               array_to_string(list_reverse(string_split(
+                   regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.')), ',')
+                 || ')' || coalesce(regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1), '')
+                 AS surt,
+               array_to_string(list_reverse(string_split(
+                   regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.'))[1:2], ',')
+                 AS domain_key
+        FROM read_parquet('{_P["pages"]}')""",
+)
+def fn_url_surt(spark, sf):
+    """SURT keys (Sort-friendly URI Reordering Transform — the web
+    archive convention, e.g. 'com,example,www)/path'): the host's
+    labels reversed most-significant-first so that LEXICOGRAPHIC order
+    groups every subdomain of a registrable domain contiguously. That
+    ordering is the point at 10^10 URLs: range-partition or sort the
+    frontier/seen-set by surt and (a) one host's URLs land in one
+    partition run (politeness scheduling reads a contiguous slice, not
+    a scatter), (b) a whole-domain query is a range predicate that
+    prunes partitions, (c) prefix compression in parquet/Iceberg eats
+    the shared 'com,example,...' prefixes. domain_key (the top two
+    labels) is the coarse partition key. Pure column expressions,
+    map-only, no shuffle."""
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]*(/.*)$", 1)
+    rev = F.reverse(F.split(host, r"\."))
+    return _corpus(spark, "pages").select(
+        "url",
+        F.concat(F.array_join(rev, ","), F.lit(")"), path).alias("surt"),
+        F.array_join(F.slice(rev, 1, 2), ",").alias("domain_key"),
+    )
