@@ -792,3 +792,109 @@ def fn_url_surt(spark, sf):
         F.concat(F.array_join(rev, ","), F.lit(")"), path).alias("surt"),
         F.array_join(F.slice(rev, 1, 2), ",").alias("domain_key"),
     )
+
+
+_PR_ITERS = 5
+_PR_MASS = 1_000_000_000_000  # rank mass scale: all-integer PageRank
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank twin (same convention as the
+    pagination oracle: a Python loop emits one CTE per superstep).
+    All arithmetic is BIGINT with explicit integer division, so both
+    engines produce bit-identical ranks regardless of shuffle order."""
+    pages = _P["pages"]
+    link = (
+        "replace(CASE WHEN trim(lnk) = '' THEN NULL "
+        "WHEN starts_with(trim(lnk), 'http://') OR starts_with(trim(lnk), 'https://') THEN trim(lnk) "
+        "WHEN starts_with(trim(lnk), '/') THEN "
+        "regexp_extract(src, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)', 1) || trim(lnk) "
+        "ELSE NULL END, '#', '')"
+    )
+    sql = f"""
+    WITH nodes AS (SELECT url FROM read_parquet('{pages}')),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    rawe AS (SELECT url AS src, unnest(out_links) AS lnk FROM read_parquet('{pages}')),
+    edges AS (
+      SELECT src, {link} AS dst FROM rawe
+      WHERE {link} IN (SELECT url FROM nodes)),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT url, {_PR_MASS} // (SELECT n FROM nn) AS rank FROM nodes)"""
+    for k in range(_PR_ITERS):
+        sql += f""",
+    c{k} AS (SELECT e.dst AS url, sum(r.rank // o.deg) AS s
+             FROM edges e JOIN r{k} r ON r.url = e.src JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst),
+    r{k + 1} AS (SELECT nodes.url,
+                  (({_PR_MASS} * 15) // 100) // (SELECT n FROM nn)
+                   + (85 * coalesce(c{k}.s, 0)) // 100 AS rank
+                 FROM nodes LEFT JOIN c{k} USING (url))"""
+    # sum(BIGINT) is HUGEINT in DuckDB (-> pandas float): cast back
+    return sql + f" SELECT url, CAST(rank AS BIGINT) AS pr_scaled FROM r{_PR_ITERS}"
+
+
+_PR_CACHE: dict[str, "DataFrame"] = {}
+
+
+@register("rank_link_pagerank", _pagerank_oracle_sql())
+def rank_link_pagerank(spark, sf):
+    """Frontier prioritization by link authority: {_PR_ITERS}-round
+    PageRank (damping 0.85, lost dangling mass — the simple variant)
+    over the page link graph, the classic crawl-ordering signal
+    (Page et al. '99; OPIC is its online analog). Links resolve with
+    the engine's own resolver (functions/urls.resolve_col + normalize)
+    so the graph is exactly the frontier's graph.
+
+    Scale shape: the edge list joins out-degrees ONCE and is
+    checkpointed; every round is edges JOIN ranks (equi-join on src,
+    both sides shuffle-partitioned the same way) -> one
+    partial-aggregated groupBy(dst) -> left join back onto nodes —
+    O(E + V) rows of bigints per round, payload-free, fixed round
+    count. localCheckpoint truncates the per-round lineage exactly as
+    in connected_components. Arithmetic is scaled-integer (mass 10^12,
+    integer division in BOTH engines), so ranks are exact, order-free
+    bigints, per the no-raw-doubles rule. The one driver-side scalar
+    is count(nodes) for the teleport term."""
+    from pyspark.sql import functions as F
+
+    from ..functions import urls as U
+
+    key = f"{spark.sparkContext.applicationId}"
+    hit = _PR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pages = _corpus(spark, "pages").select("url", "out_links")
+    nodes = pages.select("url")
+    n = nodes.count()
+    dst = U.normalize_col(U.resolve_col(F.col("lnk"), U.origin_col(F.col("src"))))
+    edges = (
+        pages.select(F.col("url").alias("src"), F.explode("out_links").alias("lnk"))
+        .select("src", dst.alias("dst"))
+        .join(nodes.select(F.col("url").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = edges.join(outdeg, "src").localCheckpoint()
+    init = _PR_MASS // n
+    base = (_PR_MASS * 15 // 100) // n
+    ranks = nodes.select("url", F.lit(init).cast("bigint").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e2.join(ranks, e2["src"] == ranks["url"])
+            .select("dst", F.expr("rank DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["url"] == contrib["dst"], "left")
+            .select(
+                nodes["url"],
+                (F.lit(base) + F.expr("(85 * coalesce(s, 0)) DIV 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    res = ranks.select("url", F.col("rank").alias("pr_scaled"))
+    _PR_CACHE[key] = res
+    return res

@@ -592,3 +592,44 @@ def test_session_range_join_partitions_events(spark, registry):
         .collect()
     }
     assert sess_counts == ref
+
+
+def test_pagerank_matches_pure_python(spark, registry):
+    """rank_link_pagerank recomputed with Python dicts over the same
+    smoke corpus — a fully independent third implementation (the
+    DuckDB twin shares the SQL structure; this shares nothing)."""
+    from scrapeulous_spark.functions import urls as U
+    from scrapeulous_spark.operators.catalog_engine import _PR_ITERS, _PR_MASS
+    from scrapeulous_spark.sources.corpus import SMOKE, ensure_corpus
+
+    paths = ensure_corpus(SMOKE)
+    pages = spark.read.parquet(paths["pages"]).select("url", "out_links").collect()
+    nodes = [r.url for r in pages]
+    node_set = set(nodes)
+    edges = []
+    for r in pages:
+        origin = U.origin_of(r.url)
+        for lnk in r.out_links or []:
+            d = U.resolve(lnk, origin)
+            if d is not None:
+                d = U.normalize(d)
+                if d in node_set:
+                    edges.append((r.url, d))
+    deg: dict[str, int] = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    base = (_PR_MASS * 15 // 100) // n
+    rank = {u: _PR_MASS // n for u in nodes}
+    for _ in range(_PR_ITERS):
+        s: dict[str, int] = {}
+        for src, dst in edges:
+            s[dst] = s.get(dst, 0) + rank[src] // deg[src]
+        rank = {u: base + (85 * s.get(u, 0)) // 100 for u in nodes}
+    got = {
+        (r.url, r.pr_scaled)
+        for r in registry["rank_link_pagerank"].spark(spark, SF).collect()
+    }
+    assert got == set(rank.items())
+    # the graph must actually differentiate nodes
+    assert len({v for _u, v in got}) > 1
