@@ -147,9 +147,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     catalog = load_all_catalogs()
     seen_r01 = set(_VERIFIED_R01)
+    # queries added AFTER the round-2 driver-order fix register at the
+    # tail of their modules; surface them FIRST so a tight driver budget
+    # starves re-verification, never first-verification
+    newest_first = [
+        "agg_source_rollup", "agg_lang_pivot", "join_event_session_range",
+        "agg_event_rolling_rate", "agg_value_percentiles",
+        "setop_converted_users", "join_user_stats_bucketed", "fn_url_surt",
+        "rank_link_pagerank",
+    ]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: shipped(q.spark) for name, q in catalog.items() if name not in seen_r01
+        name: shipped(catalog[name].spark)
+        for name in newest_first
+        if name in catalog
     }
+    out.update(
+        {
+            name: shipped(q.spark)
+            for name, q in catalog.items()
+            if name not in seen_r01 and name not in out
+        }
+    )
     # engine-native queries next: ONE shared ~40s crawl serves all three
     # engine views (memoized _run_engine), then the corpus reads
     out.update({name: shipped(fn) for name, fn in _engine_queries().items()})
