@@ -91,6 +91,31 @@ class SnapshotTable:
         analog) so per-partition reads are directory-pruned scans."""
         return self._commit([self._write_data(df, partition_by)], lineage)
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        lineage: dict | None = None,
+        partition_by: str | None = None,
+    ) -> dict:
+        """MERGE INTO (upsert-by-key): rows of `source` replace target
+        rows with the same key; unmatched source rows insert — the
+        copy-on-write Iceberg MERGE the north rule names for the
+        frontier. Implemented as the standard COW plan: target
+        LEFT-ANTI source on the key (survivors) unioned with source,
+        written as a NEW snapshot — so the merge is itself atomic,
+        time-travelable, and rollback-able like every other commit.
+        The anti-join is an equi-join on the key (broadcast when the
+        delta is small — the common case: one superstep's frontier
+        delta vs the accumulated table). At real-Iceberg swap time this
+        maps onto MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT
+        MATCHED THEN INSERT."""
+        target = self.read(spark)
+        survivors = target.join(source.select(*key_cols), key_cols, "left_anti")
+        merged = survivors.unionByName(source)
+        return self._commit([self._write_data(merged, partition_by)], lineage)
+
     # ---------------------------------------------------------------- read
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
