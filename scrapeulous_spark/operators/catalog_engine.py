@@ -898,3 +898,74 @@ def rank_link_pagerank(spark, sf):
     res = ranks.select("url", F.col("rank").alias("pr_scaled"))
     _PR_CACHE[key] = res
     return res
+
+
+@register(
+    "diff_crawl_snapshots",
+    f"""WITH h AS (SELECT url, coalesce(body, '') AS body,
+                  CAST(('0x' || substr(md5('snap:' || url), 1, 8)) AS BIGINT) AS h
+           FROM read_parquet('{_P["pages"]}')),
+        old AS (SELECT url, md5(body) AS sig FROM h),
+        newp AS (SELECT url,
+                        md5(CASE WHEN h % 7 = 0 THEN body || ' rev2' ELSE body END) AS sig
+                 FROM h WHERE h % 13 <> 0),
+        added AS (SELECT url || '?v=2' AS url, md5('new:' || body) AS sig
+                  FROM h WHERE h % 17 = 0),
+        new_ AS (SELECT * FROM newp UNION ALL SELECT * FROM added),
+        d AS (SELECT coalesce(o.url, n.url) AS url,
+                     CASE WHEN n.sig IS NULL THEN 'removed'
+                          WHEN o.sig IS NULL THEN 'added'
+                          WHEN o.sig <> n.sig THEN 'changed'
+                          ELSE 'same' END AS change
+              FROM old o FULL OUTER JOIN new_ n ON o.url = n.url)
+       SELECT url, change FROM d WHERE change <> 'same'""",
+)
+def diff_crawl_snapshots(spark, sf):
+    """Recrawl delta: classify every URL across two crawl snapshots as
+    added / removed / changed (content hash differs) — the
+    CommonCrawl-style diff report and the input to recrawl scheduling
+    (changed pages recrawl sooner; removed ones tombstone via the
+    cuckoo sidecar). The second snapshot is synthesized
+    deterministically from the corpus (url-hash buckets drop ~1/13,
+    mutate ~1/7, add ~1/17) so both engines diff identical inputs.
+
+    Scale shape: bodies are hashed MAP-SIDE (md5 projection at the
+    scan), so the FULL OUTER sort-merge join shuffles only
+    (url, 32-hex sig) pairs — never page payloads; classification is a
+    post-join projection. At 10^10 URLs this is the canonical delta
+    plan; with both snapshots as SURT-range-partitioned tables the
+    join co-locates and the exchange disappears entirely."""
+    pages = _corpus(spark, "pages").select(
+        "url", F.coalesce(F.col("body"), F.lit("")).alias("body")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("snap:"), F.col("url"))), 1, 8), 16, 10
+    ).cast("bigint")
+    hp = pages.withColumn("h", h)
+    old = pages.select("url", F.md5("body").alias("sig"))
+    newp = hp.filter(F.col("h") % 13 != 0).select(
+        "url",
+        F.md5(
+            F.when(F.col("h") % 7 == 0, F.concat(F.col("body"), F.lit(" rev2"))).otherwise(
+                F.col("body")
+            )
+        ).alias("sig"),
+    )
+    added = hp.filter(F.col("h") % 17 == 0).select(
+        F.concat(F.col("url"), F.lit("?v=2")).alias("url"),
+        F.md5(F.concat(F.lit("new:"), F.col("body"))).alias("sig"),
+    )
+    new = newp.unionByName(added)
+    return (
+        old.alias("o")
+        .join(new.alias("n"), "url", "full_outer")
+        .select(
+            "url",
+            F.when(F.col("n.sig").isNull(), F.lit("removed"))
+            .when(F.col("o.sig").isNull(), F.lit("added"))
+            .when(F.col("o.sig") != F.col("n.sig"), F.lit("changed"))
+            .otherwise(F.lit("same"))
+            .alias("change"),
+        )
+        .filter(F.col("change") != "same")
+    )
