@@ -156,10 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_converted_users", "join_user_stats_bucketed", "fn_url_surt",
         "rank_link_pagerank", "diff_crawl_snapshots",
     ]
+    stale = [n for n in newest_first if n not in catalog]
+    assert not stale, f"newest_first names not in catalog (renamed?): {stale}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: shipped(catalog[name].spark)
-        for name in newest_first
-        if name in catalog
+        name: shipped(catalog[name].spark) for name in newest_first
     }
     out.update(
         {

@@ -763,11 +763,11 @@ def apply_admission_gate(images: "DataFrame") -> "DataFrame":
     "fn_url_surt",
     f"""SELECT url,
                array_to_string(list_reverse(string_split(
-                   regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.')), ',')
-                 || ')' || coalesce(regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1), '')
+                   lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '.')), ',')
+                 || ')' || coalesce(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$', 1), '')
                  AS surt,
                array_to_string(list_reverse(string_split(
-                   regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.'))[1:2], ',')
+                   lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1)), '.'))[1:2], ',')
                  AS domain_key
         FROM read_parquet('{_P["pages"]}')""",
 )
@@ -784,8 +784,15 @@ def fn_url_surt(spark, sf):
     the shared 'com,example,...' prefixes. domain_key (the top two
     labels) is the coarse partition key. Pure column expressions,
     map-only, no shuffle."""
-    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
-    path = F.regexp_extract(F.col("url"), r"^[a-z]+://[^/]*(/.*)$", 1)
+    from ..functions import urls as U
+
+    # the canonical scheme pattern from functions/urls.py (host_col) —
+    # a narrower ^[a-z]+:// would collapse any odd-scheme URL into one
+    # degenerate '' host / ')' surt key
+    host = U.host_col(F.col("url"))
+    path = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$", 1
+    )
     rev = F.reverse(F.split(host, r"\."))
     return _corpus(spark, "pages").select(
         "url",
@@ -838,8 +845,9 @@ _PR_CACHE: dict[str, "DataFrame"] = {}
 
 @register("rank_link_pagerank", _pagerank_oracle_sql())
 def rank_link_pagerank(spark, sf):
-    """Frontier prioritization by link authority: {_PR_ITERS}-round
-    PageRank (damping 0.85, lost dangling mass — the simple variant)
+    """Frontier prioritization by link authority: fixed-round
+    (_PR_ITERS = 5) PageRank (damping 0.85, lost dangling mass — the
+    simple variant)
     over the page link graph, the classic crawl-ordering signal
     (Page et al. '99; OPIC is its online analog). Links resolve with
     the engine's own resolver (functions/urls.resolve_col + normalize)

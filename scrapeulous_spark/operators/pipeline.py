@@ -1006,10 +1006,11 @@ def sample_topk_per_key(spark, sf):
 
 _SESSION_GAP_MIN = 30
 
-
-@register(
-    "agg_event_sessionize",
-    f"""WITH brk AS (
+# shared sessionization CTE (break flags + running session id) — ONE
+# source of truth for every oracle that derives sessions, so the gap
+# constant and the (ts, event_id) tie-break can never drift apart
+# between the rollup twin and the range-join twin
+_SESS_SQL_CTE = f"""brk AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
@@ -1017,33 +1018,23 @@ _SESSION_GAP_MIN = 30
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_seq
-          FROM brk)
-        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
-        FROM sess GROUP BY user_id, session_seq""",
-)
-def agg_event_sessionize(spark, sf):
-    """Sessionization with a {_SESSION_GAP_MIN}-minute inactivity gap:
-    per-user break flags via lag(), running sum -> session id, then a
-    per-session rollup. ONE shuffle on user_id serves both windows and
-    the final groupBy (same partitioning reused across stages).
-    Durations are reported as millisecond DIFFERENCES so the result is
-    timezone-representation-invariant across engines. This is the
-    batch shape; the streaming twin is
-    streaming/frontier_stream.py::stream_sessionize (session_window +
-    watermark), exact-matched against a batch session_window recompute
-    over the same events in tests/test_streaming.py."""
+          FROM brk)"""
+
+
+def _sessionized(spark, sf):
+    """(user_id, ts, event_id, ms, session_seq) with the shared
+    gap/tie-break logic — the Spark-side single source of truth
+    mirroring _SESS_SQL_CTE."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev_ms = F.lag(ms).over(w)
     is_new = (
         prev_ms.isNull() | (ms - prev_ms > _SESSION_GAP_MIN * 60_000)
     ).cast("bigint")
-    sess = (
+    return (
         T(spark, sf, "events")
         .select("user_id", "ts", "event_id", is_new.alias("is_new"), ms.alias("ms"))
         .withColumn(
@@ -1051,6 +1042,28 @@ def agg_event_sessionize(spark, sf):
             F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
+
+
+@register(
+    "agg_event_sessionize",
+    f"""WITH {_SESS_SQL_CTE}
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+        FROM sess GROUP BY user_id, session_seq""",
+)
+def agg_event_sessionize(spark, sf):
+    """Sessionization with a 30-minute (_SESSION_GAP_MIN) inactivity
+    gap: per-user break flags via lag(), running sum -> session id,
+    then a per-session rollup. ONE shuffle on user_id serves both
+    windows and the final groupBy (same partitioning reused across
+    stages). Durations are reported as millisecond DIFFERENCES so the
+    result is timezone-representation-invariant across engines. This
+    is the batch shape; the streaming twin is
+    streaming/frontier_stream.py::stream_sessionize (session_window +
+    watermark), exact-matched against a batch session_window recompute
+    over the same events in tests/test_streaming.py."""
+    sess = _sessionized(spark, sf)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.max("ms") - F.min("ms")).cast("bigint").alias("duration_ms"),
@@ -1801,18 +1814,7 @@ def agg_lang_pivot(spark, sf):
 
 @register(
     "join_event_session_range",
-    f"""WITH brk AS (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
-                      THEN 1 ELSE 0 END AS is_new
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id, ts,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_seq
-          FROM brk),
+    f"""WITH {_SESS_SQL_CTE},
         bounds AS (
           SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                  min(ts) AS s_start, max(ts) AS s_end
@@ -1829,22 +1831,12 @@ def join_event_session_range(spark, sf):
     range as a join residual, so each task compares only one user's
     events against that user's handful of intervals — never the
     BroadcastNestedLoopJoin an equi-key-less range join degenerates
-    to. Interval bounds reuse agg_event_sessionize's exact window
-    logic (gap, tie-break), so every event joins back to precisely
-    the session that produced it — the test invariant."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
-    prev_ms = F.lag(ms).over(w)
-    is_new = (
-        prev_ms.isNull() | (ms - prev_ms > _SESSION_GAP_MIN * 60_000)
-    ).cast("bigint")
+    to. Interval bounds come from the SHARED _sessionized helper (one
+    source of truth for gap + tie-break with agg_event_sessionize), so
+    every event joins back to precisely the session that produced it —
+    the test invariant."""
     events = T(spark, sf, "events").select("event_id", "user_id", "ts")
-    sess = events.select(
-        "user_id", "ts", "event_id", is_new.alias("is_new")
-    ).withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = _sessionized(spark, sf)
     bounds = sess.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
@@ -1892,8 +1884,9 @@ _PCTS = (50, 95, 99)  # percentile targets, as integer hundredths
     f"""WITH v AS (
           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
                  row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn
-          FROM events),
-        n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+          FROM events WHERE value IS NOT NULL),
+        n AS (SELECT event_type, count(*) AS n FROM events
+              WHERE value IS NOT NULL GROUP BY event_type),
         t AS (SELECT event_type, p, ((n - 1) * p) // 100 AS rl, ((n - 1) * p) % 100 AS fr
               FROM n, (VALUES {", ".join(f"({p})" for p in _PCTS)}) AS ps(p)),
         pick AS (
@@ -1930,9 +1923,15 @@ def agg_value_percentiles(spark, sf):
     by cumulative count; (4) linear interpolation runs in
     scaled-integer space (cents x weight out of 100 => value x 10^4 as
     BIGINT), so the result is exact and engine/shuffle-order
-    independent per the module's no-raw-doubles rule."""
-    ev = T(spark, sf, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc")
+    independent per the module's no-raw-doubles rule. NULL values are
+    excluded up front (percentile_cont semantics; also pins the
+    NULLS-FIRST/LAST ordering divergence between engines), and the
+    per-group total n comes from the histogram itself — one scan of
+    the raw rows total, not two."""
+    ev = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("vc"))
     )
     hist = ev.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("event_type").orderBy("vc")
@@ -1943,8 +1942,8 @@ def agg_value_percentiles(spark, sf):
     # the same scan, and a same-name self-join condition is resolved by
     # lineage guessing (Spark warns "trivially true equals predicate")
     targets = (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        hist.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
         .select(
             F.col("event_type").alias("et"),
             "n",
@@ -2036,10 +2035,12 @@ def join_user_stats_bucketed(spark, sf):
     import hashlib as _hl
     import os as _os
 
+    from ..sources.corpus import cache_base
+
     # v2 in the tag: cache key covers the build logic, not just the
     # source dir — a formula change must rebuild, not read stale buckets
     tag = _hl.md5(f"v2:{sf}".encode()).hexdigest()[:8]
-    base = f"/root/repo/.cache/bucketed/{tag}"
+    base = _os.path.join(cache_base(), "bucketed", tag)
     names = {"clicks": f"clicks_b_{tag}", "purchases": f"purchases_b_{tag}"}
     ev = T(spark, sf, "events")
     sides = {

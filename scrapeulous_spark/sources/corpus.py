@@ -502,11 +502,12 @@ def generate(p: CorpusParams, out_dir: str) -> dict[str, str]:
     return paths
 
 
-def default_cache_dir(p: CorpusParams) -> str:
+def cache_base() -> str:
     """$SPARK_GRAFT_CACHE > repo-root .cache > tmpdir. The repo-root
     probe must survive zip import (spark-submit --py-files puts this
     module INSIDE dist/scrapeulous_spark.zip, where dirname(__file__)
-    is not a real directory)."""
+    is not a real directory). Shared by every on-disk cache (corpus,
+    bucketed tables)."""
     base = os.environ.get("SPARK_GRAFT_CACHE")
     if base is None:
         repo = os.path.dirname(
@@ -518,7 +519,11 @@ def default_cache_dir(p: CorpusParams) -> str:
             import tempfile
 
             base = os.path.join(tempfile.gettempdir(), "scrapeulous_cache")
-    return os.path.join(base, "corpus", p.tag)
+    return base
+
+
+def default_cache_dir(p: CorpusParams) -> str:
+    return os.path.join(cache_base(), "corpus", p.tag)
 
 
 def ensure_corpus(p: CorpusParams) -> dict[str, str]:

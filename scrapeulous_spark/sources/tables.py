@@ -110,7 +110,33 @@ class SnapshotTable:
         delta is small — the common case: one superstep's frontier
         delta vs the accumulated table). At real-Iceberg swap time this
         maps onto MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT
-        MATCHED THEN INSERT."""
+        MATCHED THEN INSERT.
+
+        Iceberg-faithful validation: a source with duplicate keys (the
+        MERGE cardinality error) or NULL keys (never equi-matches, so
+        every replay would re-insert it — silently breaking replay
+        idempotence) is rejected up front. Both probes run on the
+        small delta side only."""
+        from pyspark.sql import functions as F
+
+        null_pred = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if source.filter(null_pred).limit(1).count() > 0:
+            raise ValueError(f"{self.name}.merge: NULL in key columns {key_cols}")
+        dups = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                f"{self.name}.merge: source has duplicate keys on {key_cols} "
+                "(MERGE cardinality violation)"
+            )
         target = self.read(spark)
         survivors = target.join(source.select(*key_cols), key_cols, "left_anti")
         merged = survivors.unionByName(source)

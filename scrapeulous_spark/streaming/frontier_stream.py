@@ -119,6 +119,28 @@ def stream_sessionize(
     )
 
 
+def _paired_streams(
+    requests: DataFrame, responses: DataFrame, max_lag: str, watermark: str
+):
+    """Shared stream-stream prep: watermarked sides + the interval
+    join condition — ONE source of truth so attribution and timeout
+    detection can never disagree about what 'paired' means."""
+    req = requests.withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    ).withWatermark("event_ts", watermark)
+    resp = (
+        responses.withColumnRenamed("url", "resp_url")
+        .withColumn("resp_ts", F.col("resp_ts").cast("timestamp"))
+        .withWatermark("resp_ts", watermark)
+    )
+    cond = F.expr(
+        f"""url = resp_url
+            AND resp_ts >= event_ts
+            AND resp_ts <= event_ts + interval {max_lag}"""
+    )
+    return req, resp, cond
+
+
 def stream_fetch_attribution(
     requests: DataFrame,
     responses: DataFrame,
@@ -135,23 +157,8 @@ def stream_fetch_attribution(
     key, so both streams co-partition and each task joins one url
     range. requests: (seed_id, url, event_ts); responses:
     (url, status, resp_ts)."""
-    req = requests.withColumn(
-        "event_ts", F.col("event_ts").cast("timestamp")
-    ).withWatermark("event_ts", watermark)
-    resp = (
-        responses.withColumnRenamed("url", "resp_url")
-        .withColumn("resp_ts", F.col("resp_ts").cast("timestamp"))
-        .withWatermark("resp_ts", watermark)
-    )
-    return req.join(
-        resp,
-        F.expr(
-            f"""url = resp_url
-                AND resp_ts >= event_ts
-                AND resp_ts <= event_ts + interval {max_lag}"""
-        ),
-        "inner",
-    ).select(
+    req, resp, cond = _paired_streams(requests, responses, max_lag, watermark)
+    return req.join(resp, cond, "inner").select(
         "seed_id",
         "url",
         "status",
@@ -177,24 +184,10 @@ def stream_fetch_timeouts(
     request_ts + max_lag (before that, the match could still arrive),
     so timeout rows trail live traffic by watermark + max_lag — state
     stays bounded for exactly the same reason. Emits every request
-    with matched=false for timeouts."""
-    req = requests.withColumn(
-        "event_ts", F.col("event_ts").cast("timestamp")
-    ).withWatermark("event_ts", watermark)
-    resp = (
-        responses.withColumnRenamed("url", "resp_url")
-        .withColumn("resp_ts", F.col("resp_ts").cast("timestamp"))
-        .withWatermark("resp_ts", watermark)
-    )
-    return req.join(
-        resp,
-        F.expr(
-            f"""url = resp_url
-                AND resp_ts >= event_ts
-                AND resp_ts <= event_ts + interval {max_lag}"""
-        ),
-        "left_outer",
-    ).select(
+    with matched=false for timeouts. Pairing condition shared with
+    stream_fetch_attribution via _paired_streams."""
+    req, resp, cond = _paired_streams(requests, responses, max_lag, watermark)
+    return req.join(resp, cond, "left_outer").select(
         "seed_id",
         "url",
         "event_ts",

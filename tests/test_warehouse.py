@@ -121,3 +121,18 @@ def test_merge_is_idempotent_reapplied(spark, table):
     table.merge(spark, delta, ["k"])
     twice = sorted((r.k, r.v) for r in table.read(spark).collect())
     assert once == twice
+
+
+def test_merge_rejects_duplicate_and_null_keys(spark, table):
+    """Iceberg MERGE cardinality semantics: duplicate source keys and
+    NULL keys are rejected up front (a NULL key would silently
+    re-insert on every replay)."""
+    table.overwrite(_df(spark, 0, 3))
+    dup = spark.createDataFrame([(1, "a", 0), (1, "b", 0)], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.merge(spark, dup, ["k"])
+    nul = spark.createDataFrame([(None, "a", 0)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL in key"):
+        table.merge(spark, nul, ["k"])
+    # the failed merges committed nothing
+    assert table.current()["snapshot_id"] == 1
