@@ -977,3 +977,47 @@ def diff_crawl_snapshots(spark, sf):
         )
         .filter(F.col("change") != "same")
     )
+
+
+@register(
+    "audit_politeness_gaps",
+    f"""WITH g AS (
+          SELECT p.host, r.crawl_delay_ms,
+                 lag(p.fetch_ms) OVER (PARTITION BY p.host ORDER BY p.url) AS gap_ms
+          FROM read_parquet('{_P["pages"]}') p
+          JOIN read_parquet('{_P["robots"]}') r USING (host))
+       SELECT host, CAST(crawl_delay_ms AS BIGINT) AS crawl_delay_ms,
+              CAST(count(*) AS BIGINT) AS n_requests,
+              CAST(coalesce(sum(CASE WHEN gap_ms < crawl_delay_ms THEN 1 END), 0) AS BIGINT)
+                AS n_violations,
+              CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+       FROM g GROUP BY host, crawl_delay_ms""",
+)
+def audit_politeness_gaps(spark, sf):
+    """Politeness AUDIT over fetch logs: per host, how many
+    consecutive-fetch gaps undercut the robots crawl-delay (sequential
+    crawler model: the start-to-start gap equals the previous fetch's
+    wall, ordered deterministically by url). The engine ENFORCES the
+    budget at scheduling time (schedule_pops window accounting); this
+    is the after-the-fact compliance report a crawl operator runs over
+    the fetch log — the same window shape, pointed backwards.
+
+    Scale: one shuffle on host for the lag window (high-cardinality
+    partition key at 10^10 — millions of hosts), robots dim broadcast,
+    aggregate is map-side-combinable; fetch bodies never read
+    (column-pruned scan of host/url/fetch_ms)."""
+    pages = _corpus(spark, "pages").select("host", "url", "fetch_ms")
+    robots = _corpus(spark, "robots").select("host", "crawl_delay_ms")
+    w = Window.partitionBy("host").orderBy("url")
+    g = pages.join(F.broadcast(robots), "host").withColumn(
+        "gap_ms", F.lag("fetch_ms").over(w)
+    )
+    return g.groupBy("host", F.col("crawl_delay_ms").cast("bigint").alias("crawl_delay_ms")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_ms") < F.col("crawl_delay_ms"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+        F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+    )
