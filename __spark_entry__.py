@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_event_rolling_rate", "agg_value_percentiles",
         "setop_converted_users", "join_user_stats_bucketed", "fn_url_surt",
         "rank_link_pagerank", "diff_crawl_snapshots", "audit_politeness_gaps",
+        "audit_documents_profile",
     ]
     stale = [n for n in newest_first if n not in catalog]
     assert not stale, f"newest_first names not in catalog (renamed?): {stale}"

@@ -2073,3 +2073,37 @@ def join_user_stats_bucketed(spark, sf):
     return clicks.join(purchases, "user_id").select(
         "user_id", "n_clicks", "n_purchases", "spend_c"
     )
+
+
+@register(
+    "audit_documents_profile",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct_lang,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_source,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents""",
+)
+def audit_documents_profile(spark, sf):
+    """Data-quality profile of the corpus in ONE statement: row count,
+    null counts, exact distinct cardinalities, and min/max/total size —
+    the audit a pipeline runs before and after every curation stage
+    (ingest sanity, post-dedup shrinkage, gate pass-rates). Catalyst
+    plans the multiple DISTINCT aggregates with one Expand + two-level
+    aggregation — partials combine map-side and the exchange carries
+    (grouping-id, partial) rows, a single pass over the table. At
+    10^10 rows exact count(DISTINCT) on a high-cardinality column is
+    the one expensive member; swap approx_count_distinct per column
+    when +-2% suffices (kept exact here for the oracle hash)."""
+    df = T(spark, sf, "documents")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).cast("bigint").alias("n_null_text"),
+        F.countDistinct("lang").cast("bigint").alias("n_distinct_lang"),
+        F.countDistinct("source").cast("bigint").alias("n_distinct_source"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
