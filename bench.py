@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -391,15 +392,26 @@ def main():
         if remaining() < est * 1.1 + 30:
             return False
         t = time.time()
+        # own session/process group: on timeout the WHOLE tree dies —
+        # subprocess.run's timeout kills only the direct python child,
+        # and an orphaned Spark JVM would keep burning the pinned cores
+        # under every subsequent leg, corrupting the scaling ratio
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n), "1"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            start_new_session=True,
+        )
         try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only", str(n), "1"],
-                capture_output=True,
-                text=True,
-                timeout=max(60.0, remaining()),
-            )
-            per_level[n].append(json.loads(res.stdout.strip().splitlines()[-1]))
+            out, _err = proc.communicate(timeout=max(60.0, remaining()))
+            per_level[n].append(json.loads(out.strip().splitlines()[-1]))
         except Exception as e:  # timeout/crash: keep what's measured
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (OSError, ProcessLookupError):
+                pass
+            proc.wait()
             sys.stderr.write(f"leg local[{n}] failed: {e}\n")
             return False
         _LEG_EST[n] = max(time.time() - t, 30.0)  # refine from reality

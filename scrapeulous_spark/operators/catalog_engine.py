@@ -122,9 +122,11 @@ def sink_screenshot(spark, sf):
 
 @register(
     "udf_custom_crawler",
-    f"""SELECT url, trim(title) AS page_title,
-               CAST(len(out_links) AS INT) AS n_links,
-               CAST(length(body) AS INT) AS body_len
+    # coalesce mirrors the crawler's fillna: NULL title/body/out_links
+    # profile as ''/0, not NULL (the crawler never emits NULLs)
+    f"""SELECT url, trim(coalesce(title, '')) AS page_title,
+               CAST(coalesce(len(out_links), 0) AS INT) AS n_links,
+               CAST(coalesce(length(body), 0) AS INT) AS body_len
         FROM read_parquet('{_P["pages"]}')""",
 )
 def udf_custom_crawler(spark, sf):
@@ -143,7 +145,10 @@ def udf_custom_crawler(spark, sf):
                 {
                     "url": pdf["url"],
                     "page_title": pdf["title"].fillna("").str.strip(),
-                    "n_links": pdf["out_links"].map(len),
+                    # null-safe: a None out_links cell profiles as 0
+                    "n_links": pdf["out_links"].map(
+                        lambda v: 0 if v is None else len(v)
+                    ),
                     "body_len": pdf["body"].fillna("").str.len(),
                 }
             )
@@ -276,10 +281,16 @@ def src_robots_txt(spark, sf):
                  regexp_replace(raw, '#.*$', '') AS no_frag
           FROM decorated),
         parts AS (
+          -- split on the FIRST '?' only (instr), keeping any later '?'
+          -- inside the query string — string_split would silently drop
+          -- everything after a second '?', diverging from the engine's
+          -- split-limit-2 canonicalizer on such URLs
           SELECT url, raw,
-                 string_split(no_frag, '?')[1] AS base,
-                 CASE WHEN len(string_split(no_frag, '?')) > 1
-                      THEN string_split(no_frag, '?')[2] END AS query
+                 CASE WHEN instr(no_frag, '?') > 0
+                      THEN substr(no_frag, 1, instr(no_frag, '?') - 1)
+                      ELSE no_frag END AS base,
+                 CASE WHEN instr(no_frag, '?') > 0
+                      THEN substr(no_frag, instr(no_frag, '?') + 1) END AS query
           FROM split1),
         cleaned AS (
           SELECT url, raw, base,
@@ -324,9 +335,11 @@ def fn_url_canonicalize(spark, sf):
 
 
 def _h32dec(col):
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit("dec:"), col)), 1, 8), 16, 10
-    ).cast("bigint")
+    """pipeline._h32 with the 'dec' salt — one portable-hash
+    construction shared repo-wide, never re-derived."""
+    from .pipeline import _h32
+
+    return _h32(col, "dec")
 
 
 # RFC 9309 demo rule set: overlapping allow/disallow prefixes so the
@@ -492,7 +505,12 @@ def join_payload_oracle(spark, sf):
         _corpus(spark, "pages")
         .filter(F.col("image_id").isNotNull())
         .select("image_id", F.col("caption").alias("page_caption"))
-        .dropDuplicates(["image_id"])
+        # distinct on the PAIR (not dropDuplicates on image_id, whose
+        # pick is nondeterministic): mirrors the oracle's SELECT
+        # DISTINCT, so if an image_id ever carried two captions both
+        # engines would fan out identically instead of silently
+        # hash-mismatching
+        .distinct()
     )
     return (
         images.select("image_id", "fmt", "caption")
@@ -946,10 +964,9 @@ def diff_crawl_snapshots(spark, sf):
     pages = _corpus(spark, "pages").select(
         "url", F.coalesce(F.col("body"), F.lit("")).alias("body")
     )
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("snap:"), F.col("url"))), 1, 8), 16, 10
-    ).cast("bigint")
-    hp = pages.withColumn("h", h)
+    from .pipeline import _h32
+
+    hp = pages.withColumn("h", _h32(F.col("url"), "snap"))
     old = pages.select("url", F.md5("body").alias("sig"))
     newp = hp.filter(F.col("h") % 13 != 0).select(
         "url",

@@ -147,6 +147,10 @@ _P_G_ORG = '<div class="g">.*?</div>'
 # group1 = date text (before the literal ' - ' the reference strips,
 # google_scraper.js:154-156), group2 = snippet text
 _P_G_ST = '<span class="st">(?:<span class="f">([^<]*) - </span>)?([^<]*)</span>'
+# next-page link + blocked-page IP line — shared with the pagination
+# engine (plans/serp_loop.py imports these; google_scraper.js:631-636)
+_P_NEXT = '<a id="pnnext" href="([^"]*)">'
+_P_IP = "IP address: (.*?)Time:"
 
 
 @register(
@@ -1633,15 +1637,19 @@ def _pagination_oracle_sql(num_pages: int = 3) -> str:
             f"p{r} AS (SELECT st{r}.keyword, s.url, s.body FROM st{r} "
             f"JOIN s ON st{r}.url = s.url),"
         )
+        # shared parse constants, quote-escaped for the SQL literal —
+        # the engine (serp_loop) and this oracle can never drift apart
+        org_esc = _P_G_ORG.replace('"', '\\"')
+        next_esc = _P_NEXT.replace('"', '\\"')
         parts.append(
             f"r{r} AS (SELECT keyword, {r} AS page_num, url, "
             "contains(body, 'id=\"recaptcha\"') AS blocked, "
             "CASE WHEN contains(body, 'id=\"recaptcha\"') THEN "
-            "trim(regexp_extract(body, 'IP address: (.*?)Time:', 1)) END AS blocked_ip, "
+            f"trim(regexp_extract(body, '{_P_IP}', 1)) END AS blocked_ip, "
             "CASE WHEN NOT contains(body, 'id=\"recaptcha\"') THEN CAST(len(list_filter("
-            f"regexp_extract_all(body, '<div class=\"g\">.*?</div>'), {adm})) AS INT) "
+            f"regexp_extract_all(body, '{org_esc}'), {adm})) AS INT) "
             "END AS n_organic, "
-            "nullif(regexp_extract(body, '<a id=\"pnnext\" href=\"([^\"]*)\">', 1), '') "
+            f"nullif(regexp_extract(body, '{next_esc}', 1), '') "
             f"AS next_href FROM p{r}),"
         )
         if r < num_pages:

@@ -347,15 +347,17 @@ def img_shard_pack(spark, sf):
         .orderBy("image_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # PERSIST is load-bearing, not an optimization: the offsets branch
-    # below re-consumes this frame, and without materialization each
-    # consumer would re-execute repartitionByRange with an independent
-    # boundary SAMPLE — spark_partition_id() could then disagree
-    # between the joined sides and corrupt every offset. One shared
-    # materialization (metadata columns only, ~40B/row, spillable)
-    # pins the pids; the write-once equivalent at cluster scale is
-    # committing the ranged pass to storage and reading it twice.
-    within = parts.withColumn("cum_in", F.sum("nbytes").over(w_in)).persist()
+    # MATERIALIZATION is load-bearing, not an optimization: the offsets
+    # branch below re-consumes this frame, and without it each consumer
+    # would re-execute repartitionByRange with an independent boundary
+    # SAMPLE — spark_partition_id() could then disagree between the
+    # joined sides and corrupt every offset. localCheckpoint (not
+    # persist) pins the pids the same way but its blocks are released
+    # by the ContextCleaner when the plan is dropped — persist() lives
+    # in the CacheManager for the whole session, and a driver pass
+    # runs 100+ queries in one. The write-once equivalent at cluster
+    # scale is committing the ranged pass to storage and reading twice.
+    within = parts.withColumn("cum_in", F.sum("nbytes").over(w_in)).localCheckpoint()
     # one row per range partition: offset = sum of totals of the
     # partitions BEFORE this one
     w_off = Window.orderBy("pid").rowsBetween(

@@ -128,6 +128,19 @@ def dedup_minhash_signatures(spark, sf):
 
 _BAND_SIZE = 4  # 16 seeds -> 4 bands of 4
 
+_BUCKETS_SQL = f"""buckets AS (
+          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
+                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE}))"""
+
+_PAIR_SELECT_SQL = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+# band-key construction + candidate pairing exist ONCE; every oracle
+# that needs LSH candidates (pairs, jaccard verify, CC, canonical)
+# composes these fragments — the copies can never drift apart
+
 
 @register(
     "dedup_lsh_buckets",
@@ -169,13 +182,8 @@ def dedup_lsh_buckets(spark, sf):
 @register(
     "dedup_lsh_pairs",
     f"""WITH sig AS ({_sig_sql()}),
-        buckets AS (
-          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
-                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE}))
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM buckets a JOIN buckets b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+        {_BUCKETS_SQL}
+        {_PAIR_SELECT_SQL}""",
 )
 def dedup_lsh_pairs(spark, sf):
     """Candidate near-dup pairs from shared band buckets. Shaped as ONE
@@ -244,14 +252,8 @@ def dedup_simhash(spark, sf):
 @register(
     "dedup_ngram_jaccard",
     f"""WITH sig AS ({_sig_sql()}),
-        buckets AS (
-          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
-                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE})),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM buckets a JOIN buckets b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        {_BUCKETS_SQL},
+        pairs AS ({_PAIR_SELECT_SQL}),
         toks AS (SELECT DISTINCT doc_id, token FROM {_TOKENS} tok),
         sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
         common AS (
@@ -312,14 +314,8 @@ def dedup_ngram_jaccard(spark, sf):
 # ---------------------------------------------------------------------
 
 _PAIRS_SQL = f"""sig AS ({_sig_sql()}),
-        buckets AS (
-          SELECT doc_id, floor(seed / {_BAND_SIZE}) AS band,
-                 md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
-          FROM sig GROUP BY doc_id, floor(seed / {_BAND_SIZE})),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM buckets a JOIN buckets b
-            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        {_BUCKETS_SQL},
+        pairs AS ({_PAIR_SELECT_SQL}),
         edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
                   UNION SELECT doc_b, doc_a FROM pairs),
         reach(u, v) AS (
@@ -647,15 +643,18 @@ def sim_embedding_neardup(spark, sf):
 
 _IVF_CELLS = 8
 
+# the deterministic centroid table exists ONCE — sim_ann_ivf,
+# sim_ivf_topk, and emb_semdedup all compose this same fragment
+_CENTS_SQL = f"""(SELECT cell, list_transform(range(0, 64),
+                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
+                             THEN 5000 ELSE -5000 END) AS cemb
+                  FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell))"""
+
 
 @register(
     "sim_ann_ivf",
     f"""WITH scaled AS {_SCALED},
-        cents AS (
-          SELECT cell, list_transform(range(0, 64),
-                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
-                             THEN 5000 ELSE -5000 END) AS cemb
-          FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell)),
+        cents AS {_CENTS_SQL},
         assign AS (
           SELECT vec_id, cell,
                  (SELECT sum(x * y) FROM (SELECT unnest(s.emb) AS x, unnest(c.cemb) AS y)) AS dot,
@@ -716,11 +715,7 @@ _IVF_NPROBE = 2
 @register(
     "sim_ivf_topk",
     f"""WITH scaled AS {_SCALED},
-        cents AS (
-          SELECT cell, list_transform(range(0, 64),
-                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
-                             THEN 5000 ELSE -5000 END) AS cemb
-          FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell)),
+        cents AS {_CENTS_SQL},
         assign AS (
           SELECT vec_id, cell,
                  row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -1013,7 +1008,7 @@ _SESSION_GAP_MIN = 30
 _SESS_SQL_CTE = f"""brk AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                        OR ts - lag(ts) OVER w >= INTERVAL {_SESSION_GAP_MIN} MINUTE
                       THEN 1 ELSE 0 END AS is_new
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1027,12 +1022,16 @@ _SESS_SQL_CTE = f"""brk AS (
 def _sessionized(spark, sf):
     """(user_id, ts, event_id, ms, session_seq) with the shared
     gap/tie-break logic — the Spark-side single source of truth
-    mirroring _SESS_SQL_CTE."""
+    mirroring _SESS_SQL_CTE. A gap of EXACTLY the inactivity window
+    starts a new session (>=), matching Structured Streaming's
+    session_window, which closes at [start, last + gap) — so the
+    batch rollup and streaming/frontier_stream.stream_sessionize are
+    twins at the boundary, not just in the interior."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     prev_ms = F.lag(ms).over(w)
     is_new = (
-        prev_ms.isNull() | (ms - prev_ms > _SESSION_GAP_MIN * 60_000)
+        prev_ms.isNull() | (ms - prev_ms >= _SESSION_GAP_MIN * 60_000)
     ).cast("bigint")
     return (
         T(spark, sf, "events")
@@ -1477,10 +1476,7 @@ def sample_mix_apply(spark, sf):
 
 _SEMDEDUP_MIN = 3500  # within-cell cosine x10000 for "semantically same"
 
-_SEM_CENTS = f"""(SELECT cell, list_transform(range(0, 64),
-                   i -> CASE WHEN {_h32_sql("cell::VARCHAR || ':' || i::VARCHAR", "ivf")} % 2 = 1
-                             THEN 5000 ELSE -5000 END) AS cemb
-                  FROM (SELECT unnest(range(0, {_IVF_CELLS})) AS cell))"""
+_SEM_CENTS = _CENTS_SQL
 
 _SEM_ASSIGN = f"""(SELECT vec_id, cell FROM (
     SELECT s.vec_id, c.cell,
@@ -1688,7 +1684,12 @@ def sample_quality_bins(spark, sf):
         "pid", F.spark_partition_id()
     )
     w_in = Window.partitionBy("pid").orderBy("score", "doc_id")
-    within = parts.withColumn("rn_in", F.row_number().over(w_in)).persist()
+    # localCheckpoint, not persist(): pins the spark_partition_id
+    # assignment across the two consumers exactly the same, but its
+    # blocks are released by the ContextCleaner when the plan is
+    # dropped — persist() entries live in the CacheManager for the
+    # whole session, and a driver pass runs 100+ queries in one
+    within = parts.withColumn("rn_in", F.row_number().over(w_in)).localCheckpoint()
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

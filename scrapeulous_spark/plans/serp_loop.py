@@ -30,11 +30,10 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# the same patterns the proj_* catalog queries parse with
-_P_G_ORG = '<div class="g">.*?</div>'
-_P_G_ST = '<span class="st">(?:<span class="f">([^<]*) - </span>)?([^<]*)</span>'
-_P_NEXT = '<a id="pnnext" href="([^"]*)">'
-_P_IP = "IP address: (.*?)Time:"
+# the SAME pattern objects the proj_* catalog queries parse with —
+# imported, not re-declared, so a selector change there propagates to
+# the pagination engine and its unrolled oracle mechanically
+from ..operators.catalog_serp import _P_G_ORG, _P_G_ST, _P_IP, _P_NEXT  # noqa: E402
 
 
 def _n_admitted(body):

@@ -93,7 +93,9 @@ def test_sessionize_partitions_events_and_bounds_gaps(spark, registry):
     )
     want_sessions, cur = [], [mine[0]]
     for prev, nxt in zip(mine, mine[1:]):
-        if (nxt[0] - prev[0]).total_seconds() > 1800:
+        # >= : a gap of exactly the window starts a new session
+        # (session_window semantics — see _sessionized docstring)
+        if (nxt[0] - prev[0]).total_seconds() >= 1800:
             want_sessions.append(cur)
             cur = []
         cur.append(nxt)
