@@ -263,11 +263,13 @@ def test_shard_pack_big_window_is_partitioned(spark, registry):
     RANGE PARTITION (pid) — a single-task global window over the data
     is the scale bug this op exists to avoid. The only unpartitioned
     window allowed is the offsets side, which runs over one row per
-    partition. The ranged pass must also be persisted so both join
-    sides see the same spark_partition_id assignment."""
+    partition. The ranged pass must also be MATERIALIZED
+    (localCheckpoint -> Scan ExistingRDD) so both join sides see the
+    same spark_partition_id assignment instead of re-sampling range
+    boundaries independently."""
     df = registry["img_shard_pack"].spark(spark, _SF)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan
 
 
