@@ -567,10 +567,16 @@ class CrawlEngine:
         # DISJOINT heavy columns (body vs out_links), so each gets its
         # own column-pruned pipelined join — no shared cache, no serial
         # persist+count materialization pass (see fetch.payload_join).
+        # each consumer broadcasts only the key columns it reads —
+        # extraction needs step, expansion needs pop_rank; with both
+        # broadcasts live concurrently (FAIR pools) near the ~10M-key
+        # ceiling, two unneeded columns per broadcast is real memory
         ok_keys = popped.filter("fetch_ok").select("seed_id", "url", "step", "pop_rank")
         raw = extract_entities_raw(
             payload_join(
-                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                ok_keys.select("seed_id", "url", "step"),
+                pages,
+                broadcast=self.broadcast_sched_keys,
                 columns=("url", "body"),
             ).select("seed_id", F.col("step").cast("int").alias("page_order"), "body")
         )
@@ -583,7 +589,9 @@ class CrawlEngine:
             # expand: enqueue order = (parent pop order, DOM order);
             # exclude anything this seed already visited or enqueued
             parents = payload_join(
-                ok_keys, pages, broadcast=self.broadcast_sched_keys,
+                ok_keys.select("seed_id", "url", "pop_rank"),
+                pages,
+                broadcast=self.broadcast_sched_keys,
                 columns=("url", "out_links"),
             ).select(
                 "seed_id", "url", "out_links", F.col("pop_rank").cast("long").alias("parent_rank")
