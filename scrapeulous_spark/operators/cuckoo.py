@@ -43,6 +43,13 @@ class CuckooFilter:
     MAX_KICKS = 500
 
     def __init__(self, n_buckets: int = 1 << 12):
+        # power of two REQUIRED: the partial-key alt index i2=(i^h)%n is
+        # an involution only when %n keeps low bits (n=2^k) — otherwise
+        # an evicted fingerprint can land in a bucket contains() never
+        # probes, and a false NEGATIVE breaks the seen-set exactness
+        # proof (a cuckoo miss is treated as not-tombstoned PROOF)
+        if n_buckets <= 0 or n_buckets & (n_buckets - 1):
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
 

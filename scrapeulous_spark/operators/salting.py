@@ -50,9 +50,15 @@ def detect_hot_hosts(
     thr = counts.agg(
         (F.lit(skew_factor) * F.sum("n") / F.lit(n_buckets)).alias("thr")
     )
+    # NULL hosts (unparseable URLs) are excluded: sorted() would raise
+    # on a None among strings, and Column.isin(None) is NULL in SQL, so
+    # a "hot" null group could never be salted downstream anyway — the
+    # caller's url-salting for hot hosts keys on (host, url) and a null
+    # host row set belongs in the cold path by definition
     hot = [
         r["host"]
         for r in counts.join(F.broadcast(thr)).filter(F.col("n") > F.col("thr")).collect()
+        if r["host"] is not None
     ]
     counts.unpersist()
     return sorted(hot)

@@ -38,8 +38,9 @@ BLOOM_SCHEMA = "bucket int, bits binary"
 
 def _with_hashes(urls: DataFrame, n_buckets: int, n_bits: int, k: int) -> DataFrame:
     """bucket + k bit positions, all JVM-side. xxhash64(url, lit(i)) gives
-    k independent 64-bit hashes."""
-    out = urls.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    k independent 64-bit hashes. The bucket comes from _shard — ONE
+    definition, so bloom buckets and cuckoo shards can never drift."""
+    out = _shard(urls, n_buckets)
     for i in range(k):
         out = out.withColumn(
             f"h{i}", F.pmod(F.xxhash64("url", F.lit(i + 1)), F.lit(n_bits)).cast("long")
@@ -75,6 +76,10 @@ def bloom_prefilter(
     """Stamp candidates with maybe_seen (bloom hit). Cogrouped per bucket so
     each bitmap crosses to Python exactly once per partition-group, not
     once per row."""
+    reserved = {"bucket", *(f"h{i}" for i in range(k))}
+    clash = reserved & set(candidates.columns)
+    if clash:
+        raise ValueError(f"bloom_prefilter: candidate columns clash with {sorted(clash)}")
     hashed = _with_hashes(candidates, n_buckets, n_bits, k)
     hcols = [f"h{i}" for i in range(k)]
     out_schema = ", ".join(
@@ -82,6 +87,10 @@ def bloom_prefilter(
     ) + ", maybe_seen boolean"
 
     def check(key, cand: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
+        if len(bl) > 1:
+            # an unmerged filter (append instead of bloom_merge) would
+            # otherwise silently probe ONE bitmap — false negatives
+            raise ValueError(f"bloom bucket {key} has {len(bl)} rows; bloom_merge first")
         if len(bl) == 0:
             maybe = np.zeros(len(cand), dtype=bool)
         else:
@@ -180,17 +189,28 @@ def cuckoo_prefilter(
     candidates: DataFrame,
     cuckoo: DataFrame,
     n_buckets: int = 64,
-    filter_buckets: int = CUCKOO_FILTER_BUCKETS,
 ) -> DataFrame:
     """Stamp candidates with maybe_deleted (cuckoo hit). Cogrouped per
     shard: each serialized filter crosses to Python once per group. A
     miss PROVES the url is not tombstoned (cuckoo filters never
     false-negative); hits go to the exact tombstone join.
 
-    No per-row Python: the fingerprint and primary index are computed
-    JVM-side (``crc32`` — bit-identical to zlib.crc32, the hash
-    CuckooFilter uses), the alt index comes from a 2^16-entry numpy
-    LUT, and the probe is two vectorized gathers over the slot table."""
+    The probe derives the filter's bucket count FROM THE BLOB
+    (len / (2 bytes x SLOTS)) rather than taking a parameter — a
+    build/probe size mismatch (build resized after an overflow, probe
+    still on the default) would otherwise silently reshape the table
+    and mod the indices wrong, turning tombstoned URLs into false
+    not-tombstoned PROOFS that suppress recrawls forever.
+
+    No per-row Python: the fingerprint and raw primary index are
+    computed JVM-side (``crc32`` — bit-identical to zlib.crc32, the
+    hash CuckooFilter uses; the bucket mod happens at probe time with
+    the blob-derived size), the alt index comes from a 2^16-entry
+    numpy LUT, and the probe is two vectorized gathers."""
+    reserved = {"bucket", "cfp", "ci_raw"}
+    clash = reserved & set(candidates.columns)
+    if clash:
+        raise ValueError(f"cuckoo_prefilter: candidate columns clash with {sorted(clash)}")
     sharded = _shard(candidates, n_buckets)
     fp_raw = F.pmod(
         F.crc32(F.encode(F.concat(F.lit("fp:"), F.col("url")), "UTF-8")), F.lit(1 << 16)
@@ -198,27 +218,30 @@ def cuckoo_prefilter(
     hashed = sharded.withColumn(
         "cfp", F.when(fp_raw == 0, F.lit(1)).otherwise(fp_raw).cast("long")
     ).withColumn(
-        "ci1",
-        F.pmod(
-            F.crc32(F.encode(F.concat(F.lit("ix:"), F.col("url")), "UTF-8")),
-            F.lit(filter_buckets),
-        ).cast("long"),
+        "ci_raw",
+        F.crc32(F.encode(F.concat(F.lit("ix:"), F.col("url")), "UTF-8")).cast("long"),
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
     ) + ", maybe_deleted boolean"
 
     def check(key, cand: pd.DataFrame, flt: pd.DataFrame) -> pd.DataFrame:
-        res = cand.drop(columns=["bucket", "cfp", "ci1"])
+        from .cuckoo import CuckooFilter
+
+        res = cand.drop(columns=["bucket", "cfp", "ci_raw"])
+        if len(flt) > 1:
+            raise ValueError(f"cuckoo shard {key} has {len(flt)} rows; rebuild one filter")
         if len(flt) == 0:
             res["maybe_deleted"] = False
         else:
-            table = np.frombuffer(bytes(flt["filter"].iloc[0]), dtype=np.uint16).reshape(
-                filter_buckets, -1
-            )
+            raw = bytes(flt["filter"].iloc[0])
+            fb = len(raw) // (2 * CuckooFilter.SLOTS)
+            if fb <= 0 or fb & (fb - 1):
+                raise ValueError(f"cuckoo shard {key}: blob implies non-power-of-two buckets {fb}")
+            table = np.frombuffer(raw, dtype=np.uint16).reshape(fb, CuckooFilter.SLOTS)
             fp = cand["cfp"].to_numpy(dtype=np.int64)
-            i1 = cand["ci1"].to_numpy(dtype=np.int64)
-            i2 = (i1 ^ _fp_alt_lut()[fp]) % filter_buckets
+            i1 = cand["ci_raw"].to_numpy(dtype=np.int64) % fb
+            i2 = (i1 ^ _fp_alt_lut()[fp]) % fb
             res["maybe_deleted"] = (table[i1] == fp[:, None]).any(axis=1) | (
                 table[i2] == fp[:, None]
             ).any(axis=1)
@@ -249,7 +272,11 @@ def new_urls_exact(
     if deleted is None:
         if bloom is None:
             return cand.join(seen.select("url"), "url", "left_anti")
-        stamped = bloom_prefilter(cand, bloom, **bloom_params)
+        # localCheckpoint: the stamped frame feeds TWO union branches,
+        # and Spark has no cross-branch reuse for DataFrames — without
+        # materialization the cogrouped bloom probe (the hot path this
+        # module exists to optimize) would run once PER BRANCH
+        stamped = bloom_prefilter(cand, bloom, **bloom_params).localCheckpoint()
         definitely_new = stamped.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = stamped.filter(F.col("maybe_seen")).drop("maybe_seen")
         return definitely_new.unionByName(
@@ -260,7 +287,8 @@ def new_urls_exact(
     # STALE SUPERSET of the effective seen set (blooms cannot delete);
     # the cuckoo sidecar routes around that staleness without a rebuild.
     if bloom is not None:
-        stamped = bloom_prefilter(cand, bloom, **bloom_params)
+        # materialized once; consumed by three union branches (above)
+        stamped = bloom_prefilter(cand, bloom, **bloom_params).localCheckpoint()
         definitely_new = stamped.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = stamped.filter(F.col("maybe_seen")).drop("maybe_seen")
     else:
@@ -268,8 +296,10 @@ def new_urls_exact(
         maybe = cand
     if cuckoo is not None:
         # shard count MUST match cuckoo_build's: a shard-key mismatch
-        # would turn cuckoo misses into false "not tombstoned" proofs
-        cstamped = cuckoo_prefilter(maybe, cuckoo, n_buckets=cuckoo_shards)
+        # would turn cuckoo misses into false "not tombstoned" proofs.
+        # (The per-filter bucket count is self-describing — derived
+        # from the blob — so only the shard key needs agreement.)
+        cstamped = cuckoo_prefilter(maybe, cuckoo, n_buckets=cuckoo_shards).localCheckpoint()
         not_deleted = cstamped.filter(~F.col("maybe_deleted")).drop("maybe_deleted")
         maybe_del = cstamped.filter(F.col("maybe_deleted")).drop("maybe_deleted")
     else:
@@ -277,14 +307,11 @@ def new_urls_exact(
         maybe_del = maybe
     # cuckoo-miss => definitely not tombstoned => plain seen anti-join
     new_a = not_deleted.join(seen.select("url"), "url", "left_anti")
-    # cuckoo-hit => the url may be tombstoned: it is new iff it is not
-    # in seen, OR it is in seen but tombstoned (resurrectable)
-    seen_m = seen.select("url").distinct().withColumn("_in_seen", F.lit(True))
-    del_m = deleted.select("url").distinct().withColumn("_in_del", F.lit(True))
-    new_b = (
-        maybe_del.join(seen_m, "url", "left")
-        .join(del_m, "url", "left")
-        .filter(F.col("_in_seen").isNull() | F.col("_in_del").isNotNull())
-        .select("url")
-    )
+    # cuckoo-hit => the url may be tombstoned: it is new iff it is NOT
+    # in the effective seen set (seen minus tombstones). Two anti-joins
+    # — never a distinct over the 10^10-row seen table (the previous
+    # shape paid a full shuffle-aggregate of seen per superstep just to
+    # stamp membership flags).
+    effective_seen = seen.select("url").join(deleted.select("url"), "url", "left_anti")
+    new_b = maybe_del.join(effective_seen, "url", "left_anti").select("url")
     return definitely_new.unionByName(new_a).unionByName(new_b)

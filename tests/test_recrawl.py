@@ -237,3 +237,52 @@ def test_engine_vacuum_preserves_current_state(spark, tmp_path):
     eng.new_round()
     eng.run(resume=True)
     assert sorted(r.url for r in eng.result_seen().collect()) == seen
+
+
+def test_resized_cuckoo_filter_probes_exactly(spark, frames):
+    """A filter built with a NON-default bucket count (the overflow
+    remedy) must probe correctly with no parameter plumbed through —
+    the probe derives the size from the blob. A build/probe size
+    mismatch previously produced false not-tombstoned proofs that
+    silently suppressed recrawls."""
+    seen, deleted, cand = frames
+    big = cuckoo_build(deleted, n_buckets=16, filter_buckets=1 << 12).persist()
+    got = sorted(
+        r.url
+        for r in new_urls_exact(
+            cand, seen, deleted=deleted, cuckoo=big, cuckoo_shards=16
+        ).collect()
+    )
+    assert got == _expected(seen, deleted, cand)
+    # every tombstoned candidate must still register as maybe_deleted
+    stamped = cuckoo_prefilter(
+        deleted.select("url").distinct(), big, n_buckets=16
+    ).collect()
+    assert all(r.maybe_deleted for r in stamped)
+    big.unpersist()
+
+
+def test_cuckoo_rejects_non_power_of_two():
+    """The partial-key alt index is an involution only for power-of-two
+    bucket counts; any other size must fail loudly at construction —
+    not produce false negatives after evictions."""
+    from scrapeulous_spark.operators.cuckoo import CuckooFilter
+
+    with pytest.raises(ValueError, match="power of two"):
+        CuckooFilter(n_buckets=1000)
+
+
+def test_null_host_does_not_break_hot_detection(spark):
+    """A skewed NULL-host group (unparseable URLs) must neither crash
+    the hot-host sort nor appear in the hot list — it belongs to the
+    cold path by definition."""
+    from scrapeulous_spark.operators.salting import detect_hot_hosts
+
+    df = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(400)]
+        + [("hot.example.com", f"h{i}") for i in range(400)]
+        + [(f"c{i % 40}.example.com", f"c{i}") for i in range(80)],
+        ["host", "url"],
+    )
+    hot = detect_hot_hosts(df, n_buckets=8, skew_factor=2.0)
+    assert hot == ["hot.example.com"]
