@@ -93,11 +93,17 @@ def path_col(url: Column) -> Column:
 
 
 def resolve_col(link: Column, seed_origin: Column) -> Column:
-    """Spark twin of :func:`resolve` (NULL == unparseable)."""
+    """Spark twin of :func:`resolve` (NULL == unparseable). The
+    absolute-link branch mirrors the Python twin's nothing-after-'://'
+    rejection ('http://' is unparseable; 'http:///x' passes both)."""
     link = F.trim(link)
+    abs_rest = F.regexp_extract(link, r"^https?://(.+)$", 1)
     return (
         F.when(link == "", F.lit(None).cast("string"))
-        .when(link.startswith("http://") | link.startswith("https://"), link)
+        .when(
+            link.startswith("http://") | link.startswith("https://"),
+            F.when(abs_rest != "", link),  # NULL when nothing follows ://
+        )
         .when(link.startswith("/"), F.concat(seed_origin, link))
         .otherwise(F.lit(None).cast("string"))
     )

@@ -193,7 +193,10 @@ def seed_page_titles(seed_pages: DataFrame) -> DataFrame:
             "seed_id",
             F.lit("page_title").alias("kind"),
             F.lit(0).alias("ord"),
-            F.trim(F.col("title")).alias("value"),
+            # full-whitespace strip (\s: tabs/newlines too) — F.trim
+            # removes ASCII spaces only, but both twins strip all
+            # whitespace (oracle str.strip(), reference JS trim())
+            F.regexp_replace(F.col("title"), r"^\s+|\s+$", "").alias("value"),
         )
         .filter(F.col("value").isNotNull() & (F.col("value") != ""))
     )

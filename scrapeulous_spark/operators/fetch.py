@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-OK_STATUSES = ("ok", "partial")
+from ..constants import OK_STATUSES
 
 
 PAGE_COLS = ("url", "status", "fetch_ms", "out_links", "image_id", "caption", "title", "body")
@@ -108,20 +108,29 @@ def validate_payloads(images: DataFrame) -> DataFrame:
                 "pixels_allclose": np.zeros(n, dtype=bool),
             }
             for i in range(n):
+                # the WHOLE per-row validation is guarded: the invariant
+                # computations themselves raise on exactly the malformed
+                # payloads this validator exists to REPORT (w/h columns
+                # disagreeing with the decoded shape -> psnr broadcast
+                # error; decoded image under 8x8 -> phash ValueError;
+                # NULL phash -> int() TypeError). A bad row must become
+                # a report row, never a task failure that kills the job.
                 try:
                     dec = png_decode(bytes(pdf["bytes"].iloc[i]))
+                    out["decode_ok"][i] = True
+                    ref = image_pixels(
+                        pdf["image_id"].iloc[i], int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+                    )
+                    fmt = pdf["fmt"].iloc[i]
+                    p = psnr(ref, dec)
+                    out["psnr_db"][i] = 1e9 if p == float("inf") else p
+                    ph = phash64(dec)
+                    out["phash_recomputed"][i] = ph
+                    out["phash_match"][i] = ph == int(pdf["phash"].iloc[i])
+                    expected = quantize(ref) if fmt == "qpng" else ref
+                    out["pixels_allclose"][i] = bool(np.array_equal(dec, expected))
                 except Exception:
-                    continue
-                out["decode_ok"][i] = True
-                ref = image_pixels(pdf["image_id"].iloc[i], int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i]))
-                fmt = pdf["fmt"].iloc[i]
-                p = psnr(ref, dec)
-                out["psnr_db"][i] = 1e9 if p == float("inf") else p
-                ph = phash64(dec)
-                out["phash_recomputed"][i] = ph
-                out["phash_match"][i] = ph == int(pdf["phash"].iloc[i])
-                expected = quantize(ref) if fmt == "qpng" else ref
-                out["pixels_allclose"][i] = bool(np.array_equal(dec, expected))
+                    continue  # defaults already say failed/mismatch
             yield pd.DataFrame(out)
 
     # Decode cost is per-ROW CPU, not per-byte: a bytes-proportional

@@ -4,9 +4,11 @@ Spark-first re-expression of the reference crawl loop
 (/root/reference/custom/social.js:54-90):
 
   * expand_candidates: getLinks + cleanLinks — posexplode of out_links
-    in DOM order, resolve vs seed origin, same-host gate, literal '#'
-    removal, robots gate, first-occurrence dedup per seed
-    (social.js:103-143). All JVM-side column expressions.
+    in DOM order, resolve vs the parent page origin, same-host gate,
+    literal '#' removal, first-occurrence dedup per seed
+    (social.js:103-143). The robots gate is a NORTH-RULE EXTENSION —
+    social.js has no robots logic (the serial oracle pins the same
+    extension, plans/oracle.py). All JVM-side column expressions.
   * schedule_pops: the LIFO pop + budget loop (social.js:78-90) as a
     single window computation: pop order = reverse first-occurrence
     order; a row is scheduled iff the number of SUCCESSFUL fetches

@@ -31,9 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..functions import urls as U
+from ..constants import OK_STATUSES
 from ..functions.entities import KIND_ORDER, extract_py
-
-OK_STATUSES = ("ok", "partial")  # render.js:24-32 partial-content fallback
 
 
 @dataclass
@@ -189,9 +188,17 @@ def run_oracle_bfs(
                         raw_values[kind].extend(extract_py(kind, p2["body"]))
                     budget -= 1
                     if d < link_depth:
+                        # resolve against the PARENT page's origin (browser
+                        # semantics, matching frontier.expand_candidates) —
+                        # identical to seed_origin at depth 0, but a
+                        # cross-scheme parent (same-host gate compares
+                        # hostname only) must resolve its own links
                         collected.extend(
                             _clean_links(
-                                p2["out_links"], seed_origin, seed_host, robots_disallow
+                                p2["out_links"],
+                                U.origin_of(url),
+                                seed_host,
+                                robots_disallow,
                             )
                         )
             nxt = [u for u in dict.fromkeys(collected) if u not in pair_seen]

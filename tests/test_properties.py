@@ -375,3 +375,29 @@ def test_canonicalize_param_order_invariant(ps):
     a = canonicalize(base + "?" + "&".join(ps))
     b = canonicalize(base + "?" + "&".join(reversed(ps)))
     assert a == b
+
+
+def test_resolve_col_matches_python_on_edge_links(spark):
+    """Column twin == Python twin on the awkward absolute forms: bare
+    'http://' (nothing after the scheme) must be unparseable in BOTH,
+    'http:///x' (empty host, non-empty rest) must pass in BOTH."""
+    from pyspark.sql import functions as F
+
+    from scrapeulous_spark.functions import urls as U
+
+    links = [
+        "http://", "https://", "http:///x", "http://h.example.com/p",
+        "/rel", "", "  ", "mailto:x@example.com", "//proto-relative",
+        "javascript:void(0)", "https://h/x#frag",
+    ]
+    origin = "http://seed.example.com"
+    df = spark.createDataFrame([(l,) for l in links], ["link"])
+    got = {
+        r["link"]: r["resolved"]
+        for r in df.select(
+            "link",
+            U.resolve_col(F.col("link"), F.lit(origin)).alias("resolved"),
+        ).collect()
+    }
+    for l in links:
+        assert got[l] == U.resolve(l, origin), l
