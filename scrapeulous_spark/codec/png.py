@@ -60,10 +60,34 @@ def encode(pixels: np.ndarray, fmt: str = "png") -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def resize_indices(
+    src_h: int, src_w: int, out_h: int, out_w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest-neighbor row/col index arrays — the ONE definition used
+    by both the resize operator (operators/multimodal.py) and the
+    expected-value sidecar generator (sources/corpus.py), so the
+    ground truth can never drift from the code it validates."""
+    ys = (np.arange(out_h) * src_h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * src_w // out_w).astype(np.int64)
+    return ys, xs
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode a PNG produced by :func:`png_encode` back to (h, w, 3) uint8."""
+    """Decode a PNG produced by :func:`png_encode` back to (h, w, 3)
+    uint8. Raises ValueError for ANY malformed input — truncated chunk
+    headers and corrupt deflate streams included (struct/zlib errors
+    are converted so callers can rely on one exception type)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
+    try:
+        return _png_decode_body(data)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, reshape failures
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _png_decode_body(data: bytes) -> np.ndarray:
     pos = 8
     w = h = None
     idat = bytearray()

@@ -51,14 +51,13 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         import numpy as np
 
         from ..codec.phash import phash64
-        from ..codec.png import png_decode, png_encode
+        from ..codec.png import png_decode, png_encode, resize_indices
 
         for pdf in it:
             rows = {"image_id": [], "w": [], "h": [], "bytes": [], "phash": []}
             for iid, raw in zip(pdf["image_id"], pdf["bytes"]):
                 px = png_decode(bytes(raw))
-                ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
-                xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
+                ys, xs = resize_indices(px.shape[0], px.shape[1], out_h, out_w)
                 small = px[ys][:, xs]
                 rows["image_id"].append(iid)
                 rows["w"].append(out_w)

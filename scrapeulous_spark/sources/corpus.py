@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codec.png import encode, png_decode, png_encode, quantize
+from ..codec.png import encode, png_decode, png_encode, quantize, resize_indices
 from ..codec.phash import phash64
 
 MASTER_SEED = 42
@@ -124,12 +124,18 @@ def _caption(image_id: str) -> str:
     return sep.join([" ".join(words[: k // 2 + 1]), " ".join(words[k // 2 + 1 :]) or "view"])
 
 
+def _img_fmt(i: int) -> str:
+    """The ONE fmt rule (qpng every 3rd image) both gen_images and the
+    expected-value sidecar derive from — no hand-synchronized copies."""
+    return "qpng" if i % 3 == 0 else "png"
+
+
 def gen_images(p: CorpusParams) -> pa.Table:
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     for i in range(p.n_images):
         image_id = f"img_{i:08d}"
         pix = image_pixels(image_id, p.img_w, p.img_h)
-        fmt = "qpng" if i % 3 == 0 else "png"
+        fmt = _img_fmt(i)
         stored = quantize(pix) if fmt == "qpng" else pix
         ids.append(image_id)
         blobs.append(encode(pix, fmt))
@@ -160,8 +166,10 @@ def gen_image_expected(p: CorpusParams) -> pa.Table:
     executors by DECODING the stored payload bytes, so a DuckDB twin
     over this sidecar turns the three formerly rows-only multimodal
     queries into full value-hash checks of codec round-trip + math.
-    Mirrors gen_images' fmt rule (qpng when i % 3 == 0) and
-    operators/multimodal.py's resize/feature formulas."""
+    Shares gen_images' fmt rule (_img_fmt) and the resize index math
+    (codec.png.resize_indices, the same helper the resize operator
+    calls) so the ground truth cannot drift from the code it
+    validates."""
     out: dict[str, list] = {
         k: []
         for k in (
@@ -172,12 +180,11 @@ def gen_image_expected(p: CorpusParams) -> pa.Table:
     for i in range(p.n_images):
         image_id = f"img_{i:08d}"
         pix = image_pixels(image_id, p.img_w, p.img_h)
-        stored = quantize(pix) if i % 3 == 0 else pix
+        stored = quantize(pix) if _img_fmt(i) == "qpng" else pix
         pxf = stored.astype(np.float64)
         means = pxf.mean(axis=(0, 1))
         gray = pxf.mean(axis=2)
-        ys = (np.arange(12) * stored.shape[0] // 12).astype(np.int64)
-        xs = (np.arange(16) * stored.shape[1] // 16).astype(np.int64)
+        ys, xs = resize_indices(stored.shape[0], stored.shape[1], 12, 16)
         small = stored[ys][:, xs]
         out["image_id"].append(image_id)
         out["mean_r_x1000"].append(int(round(means[0] * 1000)))
@@ -205,13 +212,30 @@ def gen_image_expected(p: CorpusParams) -> pa.Table:
     )
 
 
+# Sidecar files carry a VERSION in the name: bump it whenever the
+# generating formulas change, or an existing cache would silently serve
+# stale expected values (the main corpus marker solves this with its
+# .done2 bump; sidecars need the same discipline). Writes are atomic
+# (tmp + rename) so an interrupted run can never leave a truncated
+# parquet that os.path.exists would treat as complete.
+_SIDECAR_VER = "v2"
+
+
+def _write_sidecar_atomic(table: pa.Table, path: str, **kw) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)
+
+
 def ensure_image_expected(p: CorpusParams) -> str:
     """Additive sidecar next to the cached corpus (does not touch the
     main generation marker, so existing caches stay valid)."""
-    path = os.path.join(default_cache_dir(p), "image_expected.parquet")
+    path = os.path.join(
+        default_cache_dir(p), f"image_expected_{_SIDECAR_VER}.parquet"
+    )
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(gen_image_expected(p), path, row_group_size=4096)
+        _write_sidecar_atomic(gen_image_expected(p), path, row_group_size=4096)
     return path
 
 
@@ -224,7 +248,9 @@ def ensure_screenshot_expected(p: CorpusParams) -> str:
     a fixed library — same interpreter on driver and executors)."""
     import base64
 
-    path = os.path.join(default_cache_dir(p), "screenshot_expected.parquet")
+    path = os.path.join(
+        default_cache_dir(p), f"screenshot_expected_{_SIDECAR_VER}.parquet"
+    )
     if not os.path.exists(path):
         pages = pq.read_table(ensure_corpus(p)["pages"], columns=["url"])
         urls = pages["url"].to_pylist()
@@ -232,7 +258,7 @@ def ensure_screenshot_expected(p: CorpusParams) -> str:
             base64.b64encode(png_encode(image_pixels(u, 16, 12))).decode("ascii")
             for u in urls
         ]
-        pq.write_table(
+        _write_sidecar_atomic(
             pa.table(
                 {
                     "url": pa.array(urls, pa.string()),
@@ -256,13 +282,7 @@ def gen_robots_txt(p: CorpusParams) -> pa.Table:
     hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
     texts = []
     for h in hosts:
-        rng = _rng("robots", h)
-        d = []
-        if rng.random() < 0.5:
-            d.append(f"/p{int(rng.integers(0, 9))}")
-        if rng.random() < 0.2:
-            d.append("/admin")
-        delay_ms = int(rng.integers(0, 200))
+        rng, d, delay_ms = _robots_rules(h)
         lines = [f"# robots for {h}", "User-Agent: *"]
         lines += [f"Disallow: {path}" for path in d]
         lines.append(f"Crawl-delay: {delay_ms / 1000:.3f}")
@@ -280,11 +300,29 @@ def gen_robots_txt(p: CorpusParams) -> pa.Table:
     )
 
 
+def _robots_rules(h: str):
+    """The ONE rng-drawing function both the structured robots table
+    (gen_robots) and the rendered robots.txt (gen_robots_txt) derive
+    from — the two outputs stay in RNG lock-step structurally, not by
+    hand-synchronized copies. Returns (rng, disallow, delay_ms); the
+    rng is handed back so gen_robots_txt can continue the SAME stream
+    for its formatting extras."""
+    rng = _rng("robots", h)
+    d = []
+    if rng.random() < 0.5:
+        d.append(f"/p{int(rng.integers(0, 9))}")
+    if rng.random() < 0.2:
+        d.append("/admin")
+    delay_ms = int(rng.integers(0, 200))
+    return rng, d, delay_ms
+
+
 def ensure_robots_txt(p: CorpusParams) -> str:
-    path = os.path.join(default_cache_dir(p), "robots_txt.parquet")
+    path = os.path.join(
+        default_cache_dir(p), f"robots_txt_{_SIDECAR_VER}.parquet"
+    )
     if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(gen_robots_txt(p), path)
+        _write_sidecar_atomic(gen_robots_txt(p), path)
     return path
 
 
@@ -293,6 +331,8 @@ def ensure_robots_txt(p: CorpusParams) -> str:
 
 def _host_sizes(p: CorpusParams) -> list[int]:
     """Host 0 is the hot host with ~30% of all pages (skew fixture)."""
+    if p.n_hosts == 1:
+        return [p.n_pages]  # single-host experiment: no split arithmetic
     hot = max(1, int(p.n_pages * 0.3))
     rest = p.n_pages - hot
     base = [rest // (p.n_hosts - 1)] * (p.n_hosts - 1)
@@ -349,7 +389,6 @@ def gen_pages(p: CorpusParams) -> pa.Table:
         for j in range(n):
             urls.append(f"http://{hosts[hi]}/p{j}")
             url_host.append(hosts[hi])
-    n = len(urls)
 
     statuses, fetch_ms, out_links, image_ids, captions, titles, bodies = (
         [], [], [], [], [], [], [],
@@ -377,15 +416,21 @@ def gen_pages(p: CorpusParams) -> pa.Table:
                 links.append(f"/p{tgt}#s{int(rng.integers(1, 4))}")  # fragment variant
             elif t < 0.90:
                 oh = hosts[int(rng.integers(0, p.n_hosts))]
-                links.append(f"http://{oh}/p{int(rng.integers(0, host_page_count[oh]))}")  # cross-host
+                if host_page_count[oh] > 0:
+                    links.append(f"http://{oh}/p{int(rng.integers(0, host_page_count[oh]))}")  # cross-host
+                else:
+                    # page-less host (tiny params): a dropped empty link —
+                    # no extra rng draw, so populated-host corpora are
+                    # byte-identical to before this guard
+                    links.append("")
             elif t < 0.95:
                 links.append("mailto:someone@example.com")  # unparseable for resolver
             else:
                 links.append("")  # dropped by getLinks href-nonempty gate
-        # guaranteed duplicates to exercise first-occurrence dedup (social.js:127)
-        if len(links) >= 2:
-            links.append(links[0])
-            links.append(links[1])
+        # guaranteed duplicates to exercise first-occurrence dedup
+        # (social.js:127) — k >= 2 always, so no guard needed
+        links.append(links[0])
+        links.append(links[1])
         out_links.append(links)
 
         if rng.random() < 0.6 and p.n_images > 0:
@@ -426,7 +471,15 @@ def gen_pages(p: CorpusParams) -> pa.Table:
 def gen_seeds(p: CorpusParams, pages: pa.Table) -> pa.Table:
     urls = pages.column("url").to_pylist()
     rng = _rng("seeds")
-    chosen = sorted(set(int(i) for i in rng.integers(0, len(urls), size=p.n_seeds * 2)))[: p.n_seeds - 1]
+    want = p.n_seeds - 1
+    chosen_set = set(int(i) for i in rng.integers(0, len(urls), size=p.n_seeds * 2))
+    # top-up ONLY when the initial draw fell short of n_seeds-1 unique
+    # indices (n_seeds close to n_pages): the shipped params never
+    # trigger this, so their corpora stay byte-identical; without it
+    # the seeds table silently held fewer rows than n_seeds
+    while len(chosen_set) < min(want, len(urls)):
+        chosen_set.update(int(i) for i in rng.integers(0, len(urls), size=p.n_seeds))
+    chosen = sorted(chosen_set)[:want]
     seed_urls = [urls[i] for i in chosen]
     seed_urls.append("not a valid url")  # invalid-seed path (social.js:34-40)
     return pa.table(
@@ -445,14 +498,9 @@ def gen_robots(p: CorpusParams) -> pa.Table:
     hosts = [f"h{i}.example.com" for i in range(p.n_hosts)]
     dis, delays = [], []
     for h in hosts:
-        rng = _rng("robots", h)
-        d = []
-        if rng.random() < 0.5:
-            d.append(f"/p{int(rng.integers(0, 9))}")
-        if rng.random() < 0.2:
-            d.append("/admin")
+        _rng_unused, d, delay_ms = _robots_rules(h)
         dis.append(d)
-        delays.append(int(rng.integers(0, 200)))
+        delays.append(delay_ms)
     return pa.table(
         {
             "host": pa.array(hosts, pa.string()),
