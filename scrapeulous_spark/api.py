@@ -55,8 +55,11 @@ def coerce_options(options: dict | None) -> dict:
         o["num_pages"] = 1
     if not o.get("max_images"):
         o["max_images"] = 20
+    # falsy -> 20 FIRST, then clamp to max_images — the reference
+    # defaults the two independently (reverse_image_google_final.js:
+    # 36-46), so max_images=50 with clicking unset yields 20, not 50
     o["max_images_clicking"] = min(
-        o.get("max_images_clicking") or o["max_images"], o["max_images"]
+        o.get("max_images_clicking") or 20, o["max_images"]
     )
     if not o.get("wait_until"):
         o["wait_until"] = "domcontentloaded"
@@ -89,6 +92,11 @@ def crawl(
     """
     o = coerce_options(options)
     kind = o.get("crawler") or "http"
+    if kind not in ("http", "browser"):
+        # fail loudly like serp() does for engines — a typo'd kind
+        # silently switching to the browser result schema (body ->
+        # content + error_msg) is a worse failure mode than an error
+        raise ValueError(f"unknown crawler kind: {kind!r} (http|browser)")
     if pages is None:
         pages = spark.read.parquet(ensure_corpus(SMOKE)["pages"])
     urls = _items_df(spark, items, "url")
@@ -150,12 +158,15 @@ def serp(
     )
     if keywords is not None:
         store = store.join(F.broadcast(_items_df(spark, keywords, "keyword")), "keyword")
-    # bing organic admission: title && link (bing_scraper.js:148-151)
-    blocks = F.regexp_extract_all("body", F.lit('<li class="b_algo">.*?</li>'), 0)
+    # bing organic admission: title && link — the SAME pattern objects
+    # proj_bing_organic parses with (imported, not re-declared)
+    from .operators.catalog_serp import _P_B_LINK, _P_B_ORG, _P_B_TITLE
+
+    blocks = F.regexp_extract_all("body", F.lit(_P_B_ORG), 0)
     adm = F.filter(
         blocks,
-        lambda b: (F.regexp_extract(b, '<h2><a href="([^"]*)">', 1) != "")
-        & (F.regexp_extract(b, '<h2><a href="[^"]*">([^<]*)</a></h2>', 1) != ""),
+        lambda b: (F.regexp_extract(b, _P_B_LINK, 1) != "")
+        & (F.regexp_extract(b, _P_B_TITLE, 1) != ""),
     )
     return store.select(
         "keyword",
@@ -198,7 +209,20 @@ def custom(
     import inspect
 
     try:
-        takes_options = len(inspect.signature(crawler).parameters) >= 1
+        params = list(inspect.signature(crawler).parameters.values())
+        # 'takes options' means a parameter that can actually BIND one
+        # positional argument — keyword-only or **kwargs-only __init__
+        # signatures must get the zero-arg call, not a positional
+        # options dict they cannot accept
+        takes_options = any(
+            p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                inspect.Parameter.VAR_POSITIONAL,
+            )
+            for p in params
+        )
     except (TypeError, ValueError):  # builtins / odd callables
         takes_options = False
 
@@ -233,7 +257,15 @@ def social(
     """
     from .plans.loop import CrawlEngine
 
-    coerce_options(options)  # validates/normalizes; engine uses corpus budgets
+    # The engine reads per-host budgets/depth semantics from the corpus
+    # tables (the reference's per-job options map analog) — options
+    # passed here do NOT override them; reject attempts loudly instead
+    # of silently ignoring them
+    if options:
+        raise ValueError(
+            "social(): engine semantics come from the corpus tables "
+            f"(budgets/robots); unsupported options {sorted(options)}"
+        )
     paths = corpus_paths or ensure_corpus(SMOKE)
     eng = CrawlEngine(spark, warehouse, paths, validate_images=validate_images)
     eng.run()

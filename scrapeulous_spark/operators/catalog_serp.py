@@ -586,14 +586,19 @@ def proj_google_search_info(spark, sf):
 
 
 _P_B_ORG = '<li class="b_algo">.*?</li>'
+# bing organic admission pair (title && link, bing_scraper.js:148-151) —
+# shared with the /serp facade (api.py) so facade counts can never
+# drift from proj_bing_organic
+_P_B_TITLE = '<h2><a href="[^"]*">([^<]*)</a></h2>'
+_P_B_LINK = '<h2><a href="([^"]*)">'
 
 
 @register(
     "proj_bing_organic",
     f"""{_ob("bing", _P_B_ORG)},
     f AS (SELECT url, pos1,
-            nullif(regexp_extract(blk, '<h2><a href="[^"]*">([^<]*)</a></h2>', 1), '') AS title,
-            nullif(regexp_extract(blk, '<h2><a href="([^"]*)">', 1), '') AS link,
+            nullif(regexp_extract(blk, '{_P_B_TITLE}', 1), '') AS title,
+            nullif(regexp_extract(blk, '{_P_B_LINK}', 1), '') AS link,
             nullif(regexp_extract(blk, '<cite>([^<]*)</cite>', 1), '') AS displayed_link,
             nullif(trim(regexp_extract(blk, '<div class="b_caption"><p>([^<]*)</p></div>', 1)), '') AS snippet,
             nullif(array_to_string(regexp_extract_all(blk,
@@ -619,8 +624,8 @@ def proj_bing_organic(spark, sf):
     f = b.select(
         "url",
         "pos1",
-        _x(F.col("blk"), '<h2><a href="[^"]*">([^<]*)</a></h2>').alias("title"),
-        _x(F.col("blk"), '<h2><a href="([^"]*)">').alias("link"),
+        _x(F.col("blk"), _P_B_TITLE).alias("title"),
+        _x(F.col("blk"), _P_B_LINK).alias("link"),
         _x(F.col("blk"), "<cite>([^<]*)</cite>").alias("displayed_link"),
         F.nullif(
             F.trim(

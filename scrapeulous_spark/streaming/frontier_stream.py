@@ -199,7 +199,12 @@ def stream_fetch_timeouts(
 def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """Drain all available input with availableNow and return the
     collected rows from a memory sink (test/driver harness helper)."""
-    name = "stream_out_" + checkpoint.replace("/", "_").replace("-", "_")[-32:]
+    import re as _re
+
+    # every non-identifier char must go (a '.' in the path would parse
+    # as a catalog separator in the SELECT below), and the name must
+    # not start with a digit
+    name = "stream_out_" + _re.sub(r"[^A-Za-z0-9_]", "_", checkpoint)[-32:]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

@@ -92,8 +92,15 @@ def stream_url_seen_dedup(
 
     Keyed by `pmod(xxhash64(url), n_buckets)` so the state store holds
     n_buckets partitions of ~|seen|/n_buckets hashes each — the same
-    bucketing the batch Bloom filter uses (operators/seen.py); at
-    10^10 URLs state per bucket stays O(frontier/n_buckets).
+    bucketing the batch Bloom filter uses (operators/seen.py). The
+    state array is kept SORTED, so the probe is searchsorted, not a
+    linear scan. Scale honesty: applyInPandasWithState holds ONE value
+    per key, so each update rewrites the bucket's whole blob — fine
+    for streams whose per-bucket seen set fits state-store practice
+    (raise n_buckets to shrink blobs); the append-only ListState
+    variant that avoids whole-blob rewrites is the Spark-4
+    transformWithState path in streaming/tws.py (protobuf-gated in
+    this sandbox). The batch engine remains the 10^10 path.
     """
     if initial_seen is not None:
         discovered = discovered.join(
@@ -105,19 +112,35 @@ def stream_url_seen_dedup(
             seen = np.frombuffer(state.get[0], dtype="<i8")
         else:
             seen = np.empty(0, dtype="<i8")
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["event_ts", "seed_id"], kind="stable")
-            h = pdf["h"].to_numpy(dtype="<i8")
-            # first occurrence within the batch AND not in cross-batch state
-            in_batch_first = ~pd.Series(h).duplicated().to_numpy()
-            fresh = in_batch_first & ~np.isin(h, seen)
-            if fresh.any():
-                out.append(pdf.loc[fresh, ["seed_id", "url", "event_ts"]])
-                seen = np.concatenate([seen, h[fresh]])
+        # CONCATENATE the Arrow chunks BEFORE sorting: a group's
+        # micro-batch rows arrive as an iterator of ~maxRecordsPerBatch
+        # chunks, and a per-chunk sort would let a later-event_ts row
+        # in chunk 1 beat an earlier row in chunk 2 — breaking the
+        # documented (event_ts, seed_id) first-occurrence order
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((seen.tobytes(),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["event_ts", "seed_id"], kind="stable"
+        )
+        h = pdf["h"].to_numpy(dtype="<i8")
+        # first occurrence within the batch AND not in cross-batch
+        # state; the state array is kept SORTED so the probe is
+        # searchsorted (O(batch log |seen|)), not a linear isin scan
+        in_batch_first = ~pd.Series(h).duplicated().to_numpy()
+        if len(seen):
+            pos = np.searchsorted(seen, h)
+            pos[pos == len(seen)] = len(seen) - 1
+            in_state = seen[pos] == h
+        else:
+            in_state = np.zeros(len(h), dtype=bool)
+        fresh = in_batch_first & ~in_state
+        if fresh.any():
+            seen = np.unique(np.concatenate([seen, h[fresh]]))
         state.update((seen.tobytes(),))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+        if fresh.any():
+            yield pdf.loc[fresh, ["seed_id", "url", "event_ts"]]
 
     keyed = discovered.withColumn("h", _xxh64(F.col("url"))).withColumn(
         "bucket", F.pmod(F.col("h"), F.lit(n_buckets)).cast("int")
@@ -141,14 +164,21 @@ def stream_host_budget_gate(fetches: DataFrame, default_budget: int = 10) -> Dat
 
     def gate(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         remaining = state.get[0] if state.exists else None
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["event_ts", "seed_id"], kind="stable")
-            if remaining is None:
-                b = pdf["budget"].iloc[0]
-                remaining = int(b) if pd.notna(b) else default_budget
-            if remaining <= 0:
-                continue
+        # concat chunks FIRST, sort once: per-chunk sorting would admit
+        # later-event_ts rows from an earlier Arrow chunk before
+        # earlier rows of a later chunk — budget order must follow the
+        # documented (event_ts, seed_id) sort over the WHOLE micro-batch
+        chunks = list(pdfs)
+        if not chunks:
+            state.update((int(remaining if remaining is not None else default_budget),))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["event_ts", "seed_id"], kind="stable"
+        )
+        if remaining is None:
+            b = pdf["budget"].iloc[0]
+            remaining = int(b) if pd.notna(b) else default_budget
+        if remaining > 0:
             ok = pdf["fetch_ok"].to_numpy(dtype=bool)
             # cumulative successes BEFORE each row: row admitted while
             # budget not yet exhausted; only successes consume it
@@ -156,11 +186,11 @@ def stream_host_budget_gate(fetches: DataFrame, default_budget: int = 10) -> Dat
             admitted = used_before < remaining
             sub = pdf.loc[admitted, ["host", "seed_id", "url", "event_ts", "fetch_ok"]].copy()
             sub["budget_after"] = remaining - (used_before[admitted] + ok[admitted])
-            out.append(sub)
             remaining -= int(ok[admitted].sum())
-        state.update((int(remaining if remaining is not None else default_budget),))
-        if out:
-            yield pd.concat(out, ignore_index=True)
+            state.update((int(remaining),))
+            yield sub
+        else:
+            state.update((int(remaining),))
 
     return fetches.groupBy("host").applyInPandasWithState(
         gate, GATE_OUT, GATE_STATE, "append", GroupStateTimeout.NoTimeout

@@ -71,8 +71,15 @@ class SeenDedupProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         seen = self._get()
-        for pdf in rows:
-            pdf = pdf.sort_values(["event_ts", "seed_id"], kind="stable")
+        # concat chunks before the determinism sort — a per-chunk sort
+        # breaks (event_ts, seed_id) first-occurrence order when one
+        # group's micro-batch spans multiple Arrow chunks (same fix as
+        # stateful.stream_url_seen_dedup)
+        chunks = list(rows)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["event_ts", "seed_id"], kind="stable"
+            )
             h = pdf["h"].to_numpy(dtype="<i8")
             in_batch_first = ~pd.Series(h).duplicated().to_numpy()
             fresh = in_batch_first & ~np.isin(h, seen)
