@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail of their modules; surface them FIRST so a tight driver budget
     # starves re-verification, never first-verification
     newest_first = [
+        "src_warc_records", "src_sitemap_urls", "fn_html_to_text",
+        "rank_recrawl_priority", "text_char_entropy",
         "agg_source_rollup", "agg_lang_pivot", "join_event_session_range",
         "agg_event_rolling_rate", "agg_value_percentiles",
         "setop_converted_users", "join_user_stats_bucketed", "fn_url_surt",

@@ -27,6 +27,8 @@ from ..sources.corpus import (
     ensure_corpus,
     ensure_robots_txt,
     ensure_screenshot_expected,
+    ensure_sitemaps,
+    ensure_warc,
 )
 
 # resolved (and generated if absent) at import so every oracle SQL
@@ -1037,4 +1039,287 @@ def audit_politeness_gaps(spark, sf):
         .cast("bigint")
         .alias("n_violations"),
         F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------- WARC ingest
+
+_WARC = ensure_warc(SMOKE)
+_NL = "chr(10)"
+
+
+@register(
+    "src_warc_records",
+    f"""WITH ex AS (
+          SELECT shard_id,
+                 CAST(generate_subscripts(chunks, 1) AS INT) AS rec_no,
+                 unnest(chunks) AS chunk
+          FROM (SELECT shard_id,
+                       list_filter(string_split(warc_text, 'WARC/1.0' || {_NL}),
+                                   x -> x <> '') AS chunks
+                FROM read_parquet('{_WARC}'))),
+        p AS (
+          SELECT shard_id, rec_no, chunk,
+                 strpos(chunk, {_NL} || {_NL}) AS hdr_end,
+                 TRY_CAST(regexp_extract(chunk, 'Content-Length: (\\d+)', 1) AS INT)
+                   AS content_length,
+                 regexp_extract(chunk, 'WARC-Type: (\\S+)', 1) AS warc_type,
+                 regexp_extract(chunk, 'WARC-Target-URI: (\\S+)', 1) AS target_uri,
+                 TRY_CAST(regexp_extract(chunk, 'WARC-Date: 2026-07-(\\d{{2}})', 1) AS INT)
+                   AS warc_day
+          FROM ex)
+       SELECT shard_id, rec_no, warc_type, target_uri, warc_day, content_length,
+              md5(substr(chunk, hdr_end + 2, content_length)) AS payload_sig,
+              substr(chunk, hdr_end + 2 + content_length, 8) = {_NL} || {_NL}
+                AS well_formed
+       FROM p""",
+)
+def src_warc_records(spark, sf):
+    """WARC/1.0 archive ingest — the format a real 100 TB crawl corpus
+    arrives in (Common Crawl publishes WARC; the reference's cloud
+    infrastructure stores fetched HTML the same shape: raw payload +
+    fetch metadata per record, google_scraper.js:70 attaches the raw
+    html). Parses shard text into per-record rows: split on the
+    'WARC/1.0' record header, extract typed header fields, then slice
+    the payload by the DECLARED Content-Length — exactly how a real
+    WARC reader frames records — and flag records whose stored payload
+    disagrees with the declaration (truncated archives) instead of
+    mis-slicing into the next record.
+
+    Scale shape: map-only — shards split/parse/slice inside one
+    projection, records never shuffle, payloads reduce to md5 sigs at
+    the scan. At a real ingest each ~1 GB .warc.gz file is one input
+    split (gzip is unsplittable) and this whole parse runs where the
+    bytes land; downstream ops see only (uri, sig, headers) columns."""
+    recs = (
+        spark.read.parquet(_WARC)
+        .select(
+            "shard_id",
+            F.posexplode(
+                F.filter(
+                    F.split("warc_text", "WARC/1\\.0\n"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("idx", "chunk"),
+        )
+        .select("shard_id", (F.col("idx") + 1).cast("int").alias("rec_no"), "chunk")
+    )
+    hdr_end = F.locate("\n\n", F.col("chunk"))
+    declared = F.regexp_extract("chunk", r"Content-Length: (\d+)", 1).cast("int")
+    payload = F.col("chunk").substr(hdr_end + F.lit(2), declared)
+    trailer = F.col("chunk").substr(hdr_end + F.lit(2) + declared, F.lit(8))
+    return recs.select(
+        "shard_id",
+        "rec_no",
+        F.regexp_extract("chunk", r"WARC-Type: (\S+)", 1).alias("warc_type"),
+        F.regexp_extract("chunk", r"WARC-Target-URI: (\S+)", 1).alias("target_uri"),
+        F.nullif(F.regexp_extract("chunk", r"WARC-Date: 2026-07-(\d{2})", 1), F.lit(""))
+        .cast("int")
+        .alias("warc_day"),
+        declared.alias("content_length"),
+        F.md5(payload).alias("payload_sig"),
+        (trailer == F.lit("\n\n")).alias("well_formed"),
+    )
+
+
+# ------------------------------------------------------------- sitemap ingest
+
+_SM = ensure_sitemaps(SMOKE)
+
+
+@register(
+    "src_sitemap_urls",
+    f"""WITH ex AS (
+          SELECT host,
+                 CAST(generate_subscripts(entries, 1) AS INT) AS pos,
+                 unnest(entries) AS entry
+          FROM (SELECT host,
+                       regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1) AS entries
+                FROM read_parquet('{_SM}')))
+       SELECT host, pos,
+              regexp_extract(entry, '<loc>(.*?)</loc>', 1) AS loc,
+              TRY_CAST(nullif(regexp_extract(entry,
+                  '<lastmod>2026-06-(\\d{{2}})</lastmod>', 1), '') AS INT) AS lastmod_day,
+              TRY_CAST(nullif(regexp_extract(entry,
+                  '<priority>0\\.(\\d)</priority>', 1), '') AS INT) AS priority_x10
+       FROM ex""",
+)
+def src_sitemap_urls(spark, sf):
+    """sitemap.xml ingest (sitemaps.org protocol) — the frontier
+    SOURCE a polite crawler reads before expanding links: per-host
+    XML -> one row per <url> entry with optional lastmod/priority
+    (absent fields NULL, matching the protocol's optionality). The
+    reference's robots.txt handling already points here (gen_robots_txt
+    emits Sitemap: lines); these rows seed the frontier with
+    publisher-declared priorities instead of uniform ones.
+
+    Scale shape: map-only — regexp_extract_all + posexplode inside one
+    projection; a host's sitemap is <=50k entries by spec (~10 MB), so
+    per-row work is bounded and nothing shuffles. At 10^10 scale the
+    output unions straight into the frontier MERGE keyed by
+    (host_bucket, url), same partitioning the frontier already has."""
+    return (
+        spark.read.parquet(_SM)
+        .select(
+            "host",
+            F.posexplode(
+                F.regexp_extract_all("sitemap_xml", F.lit("<url>(.*?)</url>"), 1)
+            ).alias("idx", "entry"),
+        )
+        .select(
+            "host",
+            (F.col("idx") + 1).cast("int").alias("pos"),
+            F.regexp_extract("entry", "<loc>(.*?)</loc>", 1).alias("loc"),
+            F.nullif(
+                F.regexp_extract("entry", r"<lastmod>2026-06-(\d{2})</lastmod>", 1),
+                F.lit(""),
+            )
+            .cast("int")
+            .alias("lastmod_day"),
+            F.nullif(
+                F.regexp_extract("entry", r"<priority>0\.(\d)</priority>", 1),
+                F.lit(""),
+            )
+            .cast("int")
+            .alias("priority_x10"),
+        )
+    )
+
+
+# --------------------------------------------------------------- html -> text
+
+
+@register(
+    "fn_html_to_text",
+    f"""SELECT url,
+              CASE WHEN text = '' THEN 0
+                   ELSE CAST(len(string_split(text, ' ')) AS INT) END AS n_words,
+              substr(text, 1, 64) AS head,
+              md5(text) AS text_sig
+       FROM (SELECT url,
+                    trim(regexp_replace(
+                        replace(replace(replace(
+                            regexp_replace(coalesce(body, ''), '<[^>]*>', ' ', 'g'),
+                            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                        '\\s+', ' ', 'g')) AS text
+             FROM read_parquet('{_P["pages"]}'))""",
+)
+def fn_html_to_text(spark, sf):
+    """HTML -> clean text: strip tags, decode the core entities,
+    collapse whitespace — the first transform of every training-data
+    text pipeline (raw fetched HTML is what the reference returns,
+    crawl/http.js:4-7; corpus curation consumes the visible text).
+    Tag stripping is the Cheerio `$.text()` analog the reference uses
+    for title/snippet extraction (social.js:62-65) applied to the
+    whole document.
+
+    Scale shape: pure map-only column expressions (regexp_replace /
+    replace chains, all codegen'd JVM-side); bodies reduce to
+    (sig, head, n_words) at the scan and never shuffle. A 100 TB page
+    store runs this as a projection inside whatever job reads it next
+    — zero extra passes."""
+    text = F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.regexp_replace(
+                            F.coalesce(F.col("body"), F.lit("")), "<[^>]*>", " "
+                        ),
+                        F.lit("&amp;"),
+                        F.lit("&"),
+                    ),
+                    F.lit("&lt;"),
+                    F.lit("<"),
+                ),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        _corpus(spark, "pages")
+        .select("url", text.alias("text"))
+        .select(
+            "url",
+            F.when(F.col("text") == "", F.lit(0))
+            .otherwise(F.size(F.split("text", " ", -1)))
+            .cast("int")
+            .alias("n_words"),
+            F.substring("text", 1, 64).alias("head"),
+            F.md5("text").alias("text_sig"),
+        )
+    )
+
+
+# -------------------------------------------------------- recrawl scheduling
+
+
+def _recrawl_oracle_sql() -> str:
+    from .pipeline import _h32_sql
+
+    h1 = _h32_sql("url", "rc1")
+    h2 = _h32_sql("url", "rc2")
+    return f"""WITH hist AS (
+          SELECT host, url,
+                 CAST(3 + {h1} % 5 AS INT) AS n_fetches,
+                 CAST({h1} % (3 + {h1} % 5 + 1) AS INT) AS n_changes,
+                 CAST(1 + {h2} % 240 AS INT) AS age_hours
+          FROM read_parquet('{_P["pages"]}')),
+        scored AS (
+          SELECT *,
+                 CAST((((2 * n_changes + 1) * 1000) // (2 * (n_fetches + 1)))
+                      * age_hours AS BIGINT) AS score
+          FROM hist),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER
+                   (PARTITION BY host ORDER BY score DESC, url) AS INT) AS rnk
+          FROM scored)
+       SELECT host, url, n_fetches, n_changes, age_hours, score, rnk
+       FROM ranked WHERE rnk <= 10"""
+
+
+@register("rank_recrawl_priority", _recrawl_oracle_sql())
+def rank_recrawl_priority(spark, sf):
+    """Recrawl scheduling: pick the top-10 URLs per host whose
+    (estimated change rate x staleness) is highest — the
+    Cho/Garcia-Molina freshness policy that turns diff_crawl_snapshots'
+    change observations into the next crawl's frontier priorities.
+    Change history is synthesized deterministically per URL (hash
+    buckets), the estimator is Laplace-smoothed
+    (2c+1)/(2(n+1)) in integer thousandths, and score = rate x hours
+    since last fetch, so a page that changes every crawl and is 10 days
+    stale outranks a static page however old.
+
+    Scale shape: history is a map-side projection; the only shuffle is
+    the per-host ranking window, which Spark executes as
+    WindowGroupLimit (rank <= 10 pushes the limit into the sort) —
+    per-host state is O(10), never the host's full URL set. Partition
+    key is host: same layout the frontier table already has, so at
+    10^10 URLs this co-locates with the MERGE that consumes it."""
+    from .pipeline import _h32
+
+    h1 = _h32(F.col("url"), "rc1")
+    h2 = _h32(F.col("url"), "rc2")
+    hist = _corpus(spark, "pages").select(
+        "host",
+        "url",
+        (F.lit(3) + h1 % 5).cast("int").alias("n_fetches"),
+        (h1 % (F.lit(3) + h1 % 5 + 1)).cast("int").alias("n_changes"),
+        (F.lit(1) + h2 % 240).cast("int").alias("age_hours"),
+    )
+    scored = hist.withColumn(
+        "score",
+        F.expr(
+            "CAST((((2 * n_changes + 1) * 1000) div (2 * (n_fetches + 1)))"
+            " * age_hours AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), "url")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("host", "url", "n_fetches", "n_changes", "age_hours", "score", "rnk")
     )

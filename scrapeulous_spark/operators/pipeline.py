@@ -2108,3 +2108,78 @@ def audit_documents_profile(spark, sf):
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ----------------------------------------------------------- char entropy
+
+_ENT_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _entropy_oracle_sql() -> str:
+    def q(c: str) -> str:
+        return "''''" if c == "'" else f"'{c}'"
+
+    cnts = ", ".join(
+        f"(length(t) - length(replace(t, {q(c)}, ''))) AS c{i}"
+        for i, c in enumerate(_ENT_ALPHA)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(_ENT_ALPHA)))
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN (CAST(c{i} AS DOUBLE) / total)"
+        f" * log2(CAST(c{i} AS DOUBLE) / total) ELSE 0 END)"
+        for i in range(len(_ENT_ALPHA))
+    )
+    return f"""WITH low AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+        c AS (SELECT doc_id, {cnts} FROM low),
+        s AS (SELECT *, ({total}) AS total FROM c)
+       SELECT doc_id, CAST(total AS BIGINT) AS n_counted,
+              CAST(round(CASE WHEN total = 0 THEN 0
+                              ELSE -({terms}) * 1000 END, 0) AS BIGINT)
+                AS ent_millibits
+       FROM s"""
+
+
+@register("text_char_entropy", _entropy_oracle_sql())
+def text_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy (millibits/char over a
+    37-symbol alphabet: a-z, 0-9, space) — the classic gibberish /
+    spam / encoded-blob detector of text-curation pipelines: natural
+    language sits ~3.5-4.2 bits, base64 and key-mash outliers score
+    far higher, repeated-char spam far lower (a Gopher-adjacent
+    quality gate cut on both tails).
+
+    Scale shape: strictly map-only. Counts come from 37 codegen'd
+    length(replace(...)) passes per row — a deliberate trade: ~37
+    vectorized JVM scans of an in-cache string beat exploding 10^14
+    (row, char) pairs through an aggregate, and there is NO shuffle at
+    any size. Entropy folds the 37 int columns in one projection;
+    floats appear only in the final log2 fold and are pinned to
+    integer millibits for the oracle hash."""
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    doc = T(spark, sf, "documents").select(
+        "doc_id",
+        *[
+            (F.length(low) - F.length(F.replace(low, F.lit(c), F.lit("")))).alias(
+                f"c{i}"
+            )
+            for i, c in enumerate(_ENT_ALPHA)
+        ],
+    )
+    n = len(_ENT_ALPHA)
+    total = sum([F.col(f"c{i}") for i in range(1, n)], F.col("c0"))
+    doc = doc.withColumn("total", total)
+    p = [F.col(f"c{i}").cast("double") / F.col("total") for i in range(n)]
+    terms = [
+        F.when(F.col(f"c{i}") > 0, p[i] * F.log2(p[i])).otherwise(F.lit(0.0))
+        for i in range(n)
+    ]
+    ent = sum(terms[1:], terms[0])
+    return doc.select(
+        "doc_id",
+        F.col("total").cast("bigint").alias("n_counted"),
+        F.round(
+            F.when(F.col("total") == 0, F.lit(0.0)).otherwise(-ent * 1000), 0
+        )
+        .cast("bigint")
+        .alias("ent_millibits"),
+    )

@@ -326,6 +326,104 @@ def ensure_robots_txt(p: CorpusParams) -> str:
     return path
 
 
+def gen_warc_shards(p: CorpusParams, per_shard: int = 16) -> pa.Table:
+    """WARC/1.0 shard text rendered from the page store — the archive
+    format a real 100 TB crawl ingest reads (Common Crawl ships WARC).
+    Each shard concatenates `per_shard` response records:
+
+        WARC/1.0
+        <headers incl. Content-Length: N>
+        <blank line>
+        <payload>
+        <blank line>
+
+    Corpus bodies contain no newlines (gen_pages joins body_bits with
+    spaces), so the payload is exactly one line and the declared
+    Content-Length slices it precisely. ~1/31 of records (url-hash
+    bucket) store a payload 3 chars SHORTER than declared — a truncated
+    record the parser must flag as malformed rather than mis-slice."""
+    pages = pq.read_table(ensure_corpus(p)["pages"], columns=["url", "body"])
+    shards: dict[int, list[str]] = {}
+    for i, (u, b) in enumerate(
+        zip(pages["url"].to_pylist(), pages["body"].to_pylist())
+    ):
+        b = b or ""
+        assert "\n" not in b and "WARC/1.0" not in b
+        h = zlib.crc32(f"warc:{u}".encode()) & 0xFFFFFFFF
+        declared = len(b)
+        stored = b[:-3] if (h % 31 == 0 and len(b) > 3) else b
+        rec = (
+            "WARC/1.0\n"
+            "WARC-Type: response\n"
+            f"WARC-Target-URI: {u}\n"
+            f"WARC-Date: 2026-07-{1 + h % 28:02d}T00:00:00Z\n"
+            f"WARC-Record-ID: <urn:crc32:{h:08x}>\n"
+            "Content-Type: application/http; msgtype=response\n"
+            f"Content-Length: {declared}\n"
+            "\n"
+            f"{stored}\n\n"
+        )
+        shards.setdefault(i // per_shard, []).append(rec)
+    ids = sorted(shards)
+    return pa.table(
+        {
+            "shard_id": pa.array(ids, pa.int32()),
+            "warc_text": pa.array(["".join(shards[i]) for i in ids], pa.string()),
+        }
+    )
+
+
+def ensure_warc(p: CorpusParams) -> str:
+    path = os.path.join(default_cache_dir(p), f"warc_{_SIDECAR_VER}.parquet")
+    if not os.path.exists(path):
+        _write_sidecar_atomic(gen_warc_shards(p), path)
+    return path
+
+
+def gen_sitemaps(p: CorpusParams, per_host: int = 20) -> pa.Table:
+    """sitemap.xml text per host (sitemaps.org protocol) listing up to
+    `per_host` of the host's page URLs in sorted order. lastmod and
+    priority are OPTIONAL per entry (url-hash buckets omit ~1/5 and
+    ~1/7 respectively) so the parser's null handling is exercised; all
+    values derive from the url hash, never an RNG, so re-generation is
+    order-independent."""
+    pages = pq.read_table(ensure_corpus(p)["pages"], columns=["url", "host"])
+    by_host: dict[str, list[str]] = {}
+    for u, h in zip(pages["url"].to_pylist(), pages["host"].to_pylist()):
+        by_host.setdefault(h, []).append(u)
+    hosts, xmls = [], []
+    for h in sorted(by_host):
+        entries = []
+        for u in sorted(by_host[h])[:per_host]:
+            hh = zlib.crc32(f"sm:{u}".encode()) & 0xFFFFFFFF
+            e = f"<loc>{u}</loc>"
+            if hh % 5 != 0:
+                e += f"<lastmod>2026-06-{1 + hh % 28:02d}</lastmod>"
+            if hh % 7 != 0:
+                e += f"<priority>0.{1 + hh % 9}</priority>"
+            entries.append(f"  <url>{e}</url>")
+        xmls.append(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(entries)
+            + "\n</urlset>\n"
+        )
+        hosts.append(h)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_xml": pa.array(xmls, pa.string()),
+        }
+    )
+
+
+def ensure_sitemaps(p: CorpusParams) -> str:
+    path = os.path.join(default_cache_dir(p), f"sitemaps_{_SIDECAR_VER}.parquet")
+    if not os.path.exists(path):
+        _write_sidecar_atomic(gen_sitemaps(p), path)
+    return path
+
+
 # -------------------------------------------------------------------- pages
 
 
