@@ -1323,3 +1323,258 @@ def rank_recrawl_priority(spark, sf):
         .filter(F.col("rnk") <= 10)
         .select("host", "url", "n_fetches", "n_changes", "age_hours", "score", "rnk")
     )
+
+
+# ------------------------------------------------------- URL template mining
+
+
+def _tpl_oracle_sql() -> str:
+    from .pipeline import _h32_sql
+
+    h = _h32_sql("url", "tpl")
+    th = _h32_sql("host", "trap")
+    return f"""WITH base AS (
+          SELECT url, host, {h} AS h, ({th} % 4 = 0) AS trap_host
+          FROM read_parquet('{_P["pages"]}')),
+        variants AS (
+          SELECT host, url AS u FROM base
+          UNION ALL
+          SELECT host, url || '?session=' || CAST(h % 97 AS VARCHAR) FROM base WHERE trap_host
+          UNION ALL
+          SELECT host, url || '?d=2026-0' || CAST(1 + h % 9 AS VARCHAR)
+                            || '-' || CAST(10 + h % 19 AS VARCHAR) FROM base WHERE trap_host
+          UNION ALL
+          SELECT host, url || '/page/' || CAST(h % 50 AS VARCHAR) FROM base WHERE trap_host),
+        tpl AS (
+          SELECT host,
+                 regexp_replace(regexp_extract(u, '^https?://[^/]+(/[^?]*)', 1),
+                                '[0-9]+', 'N', 'g')
+                 || CASE WHEN strpos(u, '?') > 0
+                         THEN '?' || regexp_replace(
+                                regexp_replace(u, '^[^?]*\\?', ''), '=[^&]*', '=*', 'g')
+                         ELSE '' END AS template,
+                 u
+          FROM variants)
+       SELECT host, template,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              min(u) AS sample_url,
+              (count(*) >= 10 AND (template LIKE '%=*%' OR template LIKE '%/page/N%'))
+                AS is_trap
+       FROM tpl GROUP BY host, template"""
+
+
+@register("audit_url_templates", _tpl_oracle_sql())
+def audit_url_templates(spark, sf):
+    """Crawler-trap detection by URL-template mining: normalize every
+    discovered URL to its template (path digits -> N, query values ->
+    *), count URLs per (host, template), and flag high-fanout
+    parameterized templates — session-id echoes, calendar traps,
+    infinite /page/N spaces. This is the frontier's immune system: the
+    reference caps damage with max_requests (social.js:78-90) but
+    never learns WHICH url shapes are traps; at 10^10 scale the
+    scheduler must stop admitting a template, not just budget it.
+    Trap-host variants are synthesized deterministically (url-hash) so
+    both engines mine identical inputs.
+
+    Scale shape: template normalization is a map-side projection; the
+    single shuffle is the (host, template) count whose key cardinality
+    is ~templates-per-site (tiny vs URLs), so partials collapse
+    map-side. The flag feeds the frontier MERGE as an anti-join key —
+    same host partitioning as every other frontier op."""
+    from .pipeline import _h32
+
+    h = _h32(F.col("url"), "tpl")
+    base = _corpus(spark, "pages").select(
+        "url",
+        "host",
+        h.alias("h"),
+        (_h32(F.col("host"), "trap") % 4 == 0).alias("trap_host"),
+    )
+    sess = F.concat(F.col("url"), F.lit("?session="), (F.col("h") % 97).cast("string"))
+    cal = F.concat(
+        F.col("url"),
+        F.lit("?d=2026-0"),
+        (F.col("h") % 9 + 1).cast("string"),
+        F.lit("-"),
+        (F.col("h") % 19 + 10).cast("string"),
+    )
+    pg = F.concat(F.col("url"), F.lit("/page/"), (F.col("h") % 50).cast("string"))
+    variants = base.select(
+        "host",
+        F.explode(
+            F.array(
+                F.col("url"),
+                F.when(F.col("trap_host"), sess),
+                F.when(F.col("trap_host"), cal),
+                F.when(F.col("trap_host"), pg),
+            )
+        ).alias("u"),
+    ).filter(F.col("u").isNotNull())
+    norm_path = F.regexp_replace(
+        F.regexp_extract("u", r"^https?://[^/]+(/[^?]*)", 1), "[0-9]+", "N"
+    )
+    norm_q = F.regexp_replace(
+        F.regexp_replace("u", r"^[^?]*\?", ""), "=[^&]*", "=*"
+    )
+    tpl = variants.select(
+        "host",
+        F.when(F.locate("?", F.col("u")) > 0, F.concat(norm_path, F.lit("?"), norm_q))
+        .otherwise(norm_path)
+        .alias("template"),
+        "u",
+    )
+    counted = tpl.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.min("u").alias("sample_url"),
+    )
+    return counted.select(
+        "host",
+        "template",
+        "n_urls",
+        "sample_url",
+        (
+            (F.col("n_urls") >= 10)
+            & (
+                F.col("template").contains("=*")
+                | F.col("template").contains("/page/N")
+            )
+        ).alias("is_trap"),
+    )
+
+
+# -------------------------------------------------------- host reputation
+
+
+@register(
+    "agg_host_reputation",
+    f"""WITH s AS (
+          SELECT host, status, md5(coalesce(body, '')) AS sig,
+                 length(coalesce(body, '')) AS blen
+          FROM read_parquet('{_P["pages"]}'))
+       SELECT host,
+              CAST(count(*) AS BIGINT) AS n_pages,
+              CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+              CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000
+                   // count(*) AS BIGINT) AS err_permille,
+              CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS n_dup_bodies,
+              CAST((count(*) - count(DISTINCT sig)) * 1000 // count(*) AS BIGINT)
+                AS dup_permille,
+              CAST(sum(blen) // count(*) AS BIGINT) AS avg_body_len,
+              (sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000 // count(*) <= 300
+               AND (count(*) - count(DISTINCT sig)) * 1000 // count(*) <= 200)
+                AS reputable
+       FROM s GROUP BY host""",
+)
+def agg_host_reputation(spark, sf):
+    """Host reputation scorecard: per-host fetch-error rate, duplicate
+    -body share, and mean body size, folded into an admission verdict —
+    the domain-level gate every production crawl runs (a host that
+    errors >30% or serves >20% duplicate bodies stops earning frontier
+    slots). Complements audit_url_templates (shape-level) with
+    host-level evidence; the reputable flag joins back into scheduling
+    as a broadcast dim exactly like the robots rules.
+
+    Scale shape: ONE groupBy(host) — bodies reduce to md5 sigs and
+    lengths at the scan (map-side), the exchange carries per-host
+    partials only. count(DISTINCT sig) is exact here for the oracle
+    hash; at 10^10 pages swap approx_count_distinct (HLL) per host and
+    the plan loses the Expand, becoming a plain one-pass aggregate."""
+    s = _corpus(spark, "pages").select(
+        "host",
+        "status",
+        F.md5(F.coalesce("body", F.lit(""))).alias("sig"),
+        F.length(F.coalesce("body", F.lit(""))).alias("blen"),
+    )
+    g = s.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("e"),
+        F.countDistinct("sig").alias("d"),
+        F.sum("blen").alias("bl"),
+    )
+    return g.select(
+        "host",
+        F.col("n").cast("bigint").alias("n_pages"),
+        F.col("e").cast("bigint").alias("n_err"),
+        F.expr("e * 1000 div n").cast("bigint").alias("err_permille"),
+        (F.col("n") - F.col("d")).cast("bigint").alias("n_dup_bodies"),
+        F.expr("(n - d) * 1000 div n").cast("bigint").alias("dup_permille"),
+        F.expr("bl div n").cast("bigint").alias("avg_body_len"),
+        (
+            (F.expr("e * 1000 div n") <= 300) & (F.expr("(n - d) * 1000 div n") <= 200)
+        ).alias("reputable"),
+    )
+
+
+# ----------------------------------------------------------- image size gate
+
+
+@register(
+    "img_size_gate",
+    f"""WITH m AS (
+          SELECT image_id, w, h, fmt,
+                 length(coalesce(caption, '')) AS caption_len,
+                 CASE WHEN trim(coalesce(caption, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(caption), '\\s+')) END
+                   AS n_caption_tokens
+          FROM read_parquet('{_P["images"]}'))
+       SELECT image_id, w, h, fmt, caption_len,
+              CAST(n_caption_tokens AS INT) AS n_caption_tokens,
+              CASE WHEN w < 32 OR h < 32 THEN 'too_small'
+                   WHEN w * 3 < h OR h * 3 < w THEN 'extreme_aspect'
+                   WHEN caption_len < 5 OR caption_len > 200 THEN 'caption_len'
+                   WHEN n_caption_tokens < 4 THEN 'caption_tokens'
+              END AS reject_reason,
+              (w >= 32 AND h >= 32 AND w * 3 >= h AND h * 3 >= w
+               AND caption_len BETWEEN 5 AND 200 AND n_caption_tokens >= 4)
+                AS admit
+       FROM m""",
+)
+def img_size_gate(spark, sf):
+    """LAION-style image+caption admission gate on METADATA only:
+    minimum dimensions, aspect-ratio bounds, caption length and token
+    floor — the stage-0 cut of an image-curation pipeline, with the
+    first failing rule surfaced as reject_reason (the reference's
+    admission filters report the same way: admit-or-skip per DOM rule,
+    bing_scraper.js:148-151, reverse_image_google_url.js:96-100).
+
+    Scale shape: the plan's whole point — the scan reads ONLY
+    (image_id, w, h, fmt, caption); the multi-GB bytes column is
+    pruned at the parquet reader (ReadSchema excludes it), so the gate
+    over 10^10 images is a metadata-speed pass and the Arrow decode
+    stage downstream (img_resize/img_features) consumes admitted rows
+    only — same gate->decode ordering the streaming twin
+    (img_admission_gate) enforces; limit-before-expensive-stage is the
+    reference's own policy (reverse_image_google_final.js:44-46)."""
+    cap = F.trim(F.coalesce("caption", F.lit("")))
+    m = _corpus(spark, "images").select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        F.length(F.coalesce("caption", F.lit(""))).alias("caption_len"),
+        F.when(cap == "", F.lit(0))
+        .otherwise(F.size(F.split(cap, r"\s+")))
+        .cast("int")
+        .alias("n_caption_tokens"),
+    )
+    return m.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "caption_len",
+        "n_caption_tokens",
+        F.when((F.col("w") < 32) | (F.col("h") < 32), "too_small")
+        .when((F.col("w") * 3 < F.col("h")) | (F.col("h") * 3 < F.col("w")), "extreme_aspect")
+        .when((F.col("caption_len") < 5) | (F.col("caption_len") > 200), "caption_len")
+        .when(F.col("n_caption_tokens") < 4, "caption_tokens")
+        .alias("reject_reason"),
+        (
+            (F.col("w") >= 32)
+            & (F.col("h") >= 32)
+            & (F.col("w") * 3 >= F.col("h"))
+            & (F.col("h") * 3 >= F.col("w"))
+            & F.col("caption_len").between(5, 200)
+            & (F.col("n_caption_tokens") >= 4)
+        ).alias("admit"),
+    )
