@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail of their modules; surface them FIRST so a tight driver budget
     # starves re-verification, never first-verification
     newest_first = [
+        "join_redirect_resolve",
         "audit_url_templates", "agg_host_reputation", "img_size_gate",
         "text_lm_logprob",
         "src_warc_records", "src_sitemap_urls", "fn_html_to_text",

@@ -1578,3 +1578,93 @@ def img_size_gate(spark, sf):
             & (F.col("n_caption_tokens") >= 4)
         ).alias("admit"),
     )
+
+
+# ------------------------------------------------------- redirect resolution
+
+
+def _redirect_oracle_sql() -> str:
+    from .pipeline import _h32_sql
+
+    h = _h32_sql("url", "redir")
+    return f"""WITH base AS (
+          SELECT url, host,
+                 TRY_CAST(regexp_extract(url, 'p(\\d+)$', 1) AS INT) AS pn,
+                 {h} AS h
+          FROM read_parquet('{_P["pages"]}')),
+        e AS (
+          SELECT url AS src,
+                 regexp_replace(url, 'p\\d+$', '') || 'p' || CAST(pn + 1 AS VARCHAR) AS dst
+          FROM base WHERE h % 5 = 0),
+        r1 AS (SELECT b.url, e.dst AS d1 FROM base b LEFT JOIN e ON b.url = e.src),
+        r2 AS (SELECT r1.url, r1.d1, e.dst AS d2 FROM r1 LEFT JOIN e ON r1.d1 = e.src),
+        r3 AS (SELECT r2.url, r2.d1, r2.d2, e.dst AS d3
+               FROM r2 LEFT JOIN e ON r2.d2 = e.src)
+       SELECT r3.url,
+              coalesce(d3, d2, d1, r3.url) AS final_url,
+              CAST(CASE WHEN d3 IS NOT NULL THEN 3
+                        WHEN d2 IS NOT NULL THEN 2
+                        WHEN d1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hops,
+              (e2.src IS NOT NULL) AS truncated
+       FROM r3 LEFT JOIN e e2 ON coalesce(d3, d2, d1) = e2.src AND d3 IS NOT NULL"""
+
+
+@register("join_redirect_resolve", _redirect_oracle_sql())
+def join_redirect_resolve(spark, sf):
+    """Redirect-chain resolution: map every URL to its final location
+    by following 3xx hops — the canonicalization every crawler runs
+    before frontier identity (a redirect alias fetched twice is a
+    seen-set leak; the reference follows redirects implicitly inside
+    Got/page.goto, crawl/http.js:5, render.js:12-14, and never records
+    the alias chain). Redirect edges are synthesized deterministically
+    (1/5 of pages 301 to the next page number on their host, so
+    consecutive redirectors form multi-hop chains; page numbering
+    makes chains acyclic by construction). Chains are followed 3 hops;
+    a final URL that still redirects is flagged truncated, never
+    silently mis-resolved.
+
+    Scale shape: k-hop resolution = k successive left equi-joins of
+    the url column against the edge table — each a sort-merge join
+    shuffling only (url, dst) pairs; page bodies are never touched. At
+    10^10 URLs with long chains the unrolled k joins become pointer
+    doubling (resolve 2^k hops in k rounds — same trick as
+    dedup_cluster_cc's pointer jumping); redirect edge tables are
+    ~1-5% of the frontier, so the build sides broadcast at realistic
+    scale."""
+    from .pipeline import _h32
+
+    base = _corpus(spark, "pages").select(
+        "url",
+        F.regexp_extract("url", r"p(\d+)$", 1).cast("int").alias("pn"),
+        _h32(F.col("url"), "redir").alias("h"),
+    )
+    e = base.filter(F.col("h") % 5 == 0).select(
+        F.col("url").alias("src"),
+        F.concat(
+            F.regexp_replace("url", r"p\d+$", ""),
+            F.lit("p"),
+            (F.col("pn") + 1).cast("string"),
+        ).alias("dst"),
+    )
+    r = base.select("url")
+    r1 = r.join(e.withColumnRenamed("dst", "d1"), r.url == e.src, "left").drop("src")
+    e2 = e.select(F.col("src").alias("s2"), F.col("dst").alias("d2"))
+    r2 = r1.join(e2, r1.d1 == e2.s2, "left").drop("s2")
+    e3 = e.select(F.col("src").alias("s3"), F.col("dst").alias("d3"))
+    r3 = r2.join(e3, r2.d2 == e3.s3, "left").drop("s3")
+    last = F.coalesce("d3", "d2", "d1")
+    e4 = e.select(F.col("src").alias("s4"))
+    out = r3.join(
+        e4, (last == F.col("s4")) & F.col("d3").isNotNull(), "left"
+    )
+    return out.select(
+        "url",
+        F.coalesce("d3", "d2", "d1", "url").alias("final_url"),
+        F.when(F.col("d3").isNotNull(), 3)
+        .when(F.col("d2").isNotNull(), 2)
+        .when(F.col("d1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hops"),
+        F.col("s4").isNotNull().alias("truncated"),
+    )
