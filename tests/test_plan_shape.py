@@ -402,3 +402,70 @@ def test_bucketed_join_no_shuffle(spark, registry):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_new_ingest_ops_map_only(spark, registry):
+    """The session's ingest/text ops claim strictly map-only plans
+    (parse/slice/score inside one projection, nothing shuffles): no
+    exchange may appear in any of them."""
+    for name in (
+        "src_warc_records",
+        "src_sitemap_urls",
+        "fn_html_to_text",
+        "text_char_entropy",
+        "img_size_gate",
+    ):
+        plan = _plan(registry[name].spark(spark, _SF))
+        assert "Exchange" not in plan, name
+
+
+def test_img_size_gate_bytes_pruned(spark, registry):
+    """The admission gate's whole point at 10^10 images: the parquet
+    scan must read metadata columns only — the multi-GB bytes column
+    may not appear in the ReadSchema."""
+    plan = _plan(registry["img_size_gate"].spark(spark, _SF))
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("bytes" not in ln for ln in read_schemas), plan
+
+
+def test_recrawl_priority_uses_window_group_limit(spark, registry):
+    """rank_recrawl_priority keeps O(10) state per host: the rnk<=10
+    filter must push into the window sort as WindowGroupLimit."""
+    plan = _plan(registry["rank_recrawl_priority"].spark(spark, _SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_redirect_resolve_all_joins_equi_keyed(spark, registry):
+    """join_redirect_resolve's k-hop chain: every hop must plan as a
+    hash/merge join on the url equi-key — a nested-loop or cartesian
+    product anywhere means a 10^10 x 10^8 blowup."""
+    plan = _plan(registry["join_redirect_resolve"].spark(spark, _SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_templates_single_exchange(spark, registry):
+    """audit_url_templates: variant synthesis + template projection are
+    map-side; the one exchange is the (host, template) count."""
+    plan = _plan(registry["audit_url_templates"].spark(spark, _SF))
+    assert plan.count("Exchange (") == 1
+    assert "partial_count" in plan
+
+
+def test_host_reputation_single_aggregation_pass(spark, registry):
+    """agg_host_reputation: bodies reduce to md5/length at the scan and
+    the count(DISTINCT sig) plans as the two-level Expand aggregate —
+    one scan, never one pass per metric."""
+    plan = _plan(registry["agg_host_reputation"].spark(spark, _SF))
+    assert plan.count("Scan parquet") // 2 == 1  # tree + detail header
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("out_links" not in ln for ln in read_schemas)
+
+
+def test_lm_logprob_scoring_pass_map_only(spark, registry):
+    """text_lm_logprob pass 2: with the vocab shipped as a literal map,
+    the per-doc scoring plan must be map-only (the only exchanges in
+    the op's lifetime belong to the pass-1 count jobs, which run
+    before this plan exists)."""
+    plan = _plan(registry["text_lm_logprob"].spark(spark, _SF))
+    assert "Exchange" not in plan
