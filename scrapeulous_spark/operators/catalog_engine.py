@@ -1668,3 +1668,113 @@ def join_redirect_resolve(spark, sf):
         .alias("hops"),
         F.col("s4").isNotNull().alias("truncated"),
     )
+
+
+# ----------------------------------------------- composed frontier admission
+
+
+@register(
+    "pipeline_frontier_admission_e2e",
+    f"""WITH disc AS (
+          SELECT DISTINCT unnest(out_links) AS url
+          FROM read_parquet('{_P["pages"]}')),
+        d AS (
+          SELECT url,
+                 regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 regexp_replace(url, '^https?://[^/]*', '') AS path
+          FROM disc),
+        seen AS (SELECT DISTINCT url FROM read_parquet('{_P["pages"]}')),
+        rep AS (
+          SELECT host,
+                 (sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000
+                    // count(*) <= 300
+                  AND (count(*) - count(DISTINCT md5(coalesce(body, '')))) * 1000
+                    // count(*) <= 200) AS reputable
+          FROM read_parquet('{_P["pages"]}') GROUP BY host),
+        rob AS (SELECT host, disallow FROM read_parquet('{_P["robots"]}')),
+        j AS (
+          SELECT d.url, d.host,
+                 (s.url IS NOT NULL) AS crawled,
+                 coalesce(len(list_filter(rob.disallow,
+                     x -> substr(d.path, 1, length(x)) = x)) > 0, FALSE) AS blocked,
+                 coalesce(rep.reputable, TRUE) AS reputable
+          FROM d LEFT JOIN seen s ON d.url = s.url
+                 LEFT JOIN rob ON d.host = rob.host
+                 LEFT JOIN rep ON d.host = rep.host)
+       SELECT url, host,
+              CASE WHEN crawled THEN 'already_seen'
+                   WHEN blocked THEN 'robots_disallow'
+                   WHEN NOT reputable THEN 'bad_host'
+                   ELSE 'admitted' END AS verdict,
+              (NOT crawled AND NOT blocked AND reputable) AS admitted
+       FROM j""",
+)
+def pipeline_frontier_admission_e2e(spark, sf):
+    """The composed frontier-admission sweep: every DISCOVERED URL
+    (exploded out_links) runs the full gate chain in one pass —
+    seen-set membership, robots Disallow prefixes, and host reputation
+    — and gets a verdict with first-fail precedence instead of a
+    silent drop (the auditable form of what CrawlEngine's superstep
+    does with anti-joins; the reference's equivalents are the Set
+    dedup social.js:127 and same-domain skip :115-119, which discard
+    without a trace). Composes this session's gates the way a real
+    frontier MERGE consumes them.
+
+    Scale shape, cheapest-cut-first: the link explosion dedups through
+    ONE distinct exchange (10^11 edges -> 10^10 urls); the seen
+    membership is the engine's hot sort-merge join shape carrying
+    (url) only; robots rules and the per-host reputation aggregate are
+    broadcast dims (hosts << urls), so the big side shuffles exactly
+    twice regardless of scale — and the reputation aggregate reads
+    body bytes only as map-side md5 partials."""
+    pages = _corpus(spark, "pages")
+    disc = pages.select(F.explode("out_links").alias("url")).distinct()
+    d = disc.select(
+        "url",
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        F.regexp_replace("url", "^https?://[^/]*", "").alias("path"),
+    )
+    seen = pages.select("url").distinct().withColumn("crawled", F.lit(True))
+    rep = (
+        pages.groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.md5(F.coalesce("body", F.lit("")))).alias("d"),
+        )
+        .select(
+            "host",
+            (
+                (F.expr("e * 1000 div n") <= 300)
+                & (F.expr("(n - d) * 1000 div n") <= 200)
+            ).alias("reputable"),
+        )
+    )
+    rob = _corpus(spark, "robots").select("host", "disallow")
+    j = (
+        d.join(seen, "url", "left")
+        .join(F.broadcast(rob), "host", "left")
+        .join(F.broadcast(rep), "host", "left")
+        .select(
+            "url",
+            "host",
+            F.coalesce("crawled", F.lit(False)).alias("crawled"),
+            F.coalesce(
+                F.exists(
+                    "disallow", lambda x: F.col("path").startswith(x)
+                ),
+                F.lit(False),
+            ).alias("blocked"),
+            F.coalesce("reputable", F.lit(True)).alias("reputable"),
+        )
+    )
+    return j.select(
+        "url",
+        "host",
+        F.when(F.col("crawled"), "already_seen")
+        .when(F.col("blocked"), "robots_disallow")
+        .when(~F.col("reputable"), "bad_host")
+        .otherwise("admitted")
+        .alias("verdict"),
+        (~F.col("crawled") & ~F.col("blocked") & F.col("reputable")).alias("admitted"),
+    )
