@@ -2267,3 +2267,73 @@ def text_lm_logprob(spark, sf):
         ),
     )
     return scored
+
+
+# ------------------------------------------------------ batch top-k join
+
+
+@register(
+    "sim_topk_join",
+    f"""WITH scaled AS {_SCALED},
+        probes AS (
+          SELECT vec_id AS probe_id, emb AS pemb,
+                 (SELECT sum(b * b) FROM (SELECT unnest(emb) AS b)) AS nb
+          FROM scaled WHERE vec_id % 100 = 0),
+        base AS (
+          SELECT vec_id, emb,
+                 (SELECT sum(a * a) FROM (SELECT unnest(emb) AS a)) AS na
+          FROM scaled WHERE vec_id % 100 <> 0),
+        pairs AS (
+          SELECT p.probe_id, b.vec_id,
+                 CAST(floor(10000.0 * (SELECT sum(x * y) FROM (
+                        SELECT unnest(b.emb) AS x, unnest(p.pemb) AS y))
+                      / (sqrt(b.na) * sqrt(p.nb))) AS BIGINT) AS cos_x10000
+          FROM base b CROSS JOIN probes p)
+       SELECT probe_id, vec_id, cos_x10000, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY cos_x10000 DESC, vec_id) AS INT) AS rank
+          FROM pairs) WHERE rank <= 5""",
+)
+def sim_topk_join(spark, sf):
+    """Batch top-k similarity JOIN: for every probe vector (a whole
+    query batch, not one query) find its 5 nearest base vectors by
+    cosine — the retrieval-based-curation and serving shape (SemDeDup
+    probes, dedup-against-eval-set, embedding search backends all
+    reduce to this join). sim_cosine_topk is the 1-probe special case;
+    this is the general N-probe form with per-probe ranking.
+
+    Scale shape: norms are computed ONCE per vector on each side
+    BEFORE the join (the sim_embedding_neardup lesson — recomputing
+    |a||b| per pair dominates otherwise); the probe batch broadcasts,
+    so scoring is a map-side nested loop over each scan partition with
+    NO shuffle of the base table; the only exchange is the per-probe
+    ranking window, which plans as WindowGroupLimit carrying O(k) rows
+    per probe per partition. Probe batches beyond broadcast size
+    bucket by IVF cell first (sim_ivf_topk) so each base partition
+    sees only its cell's probes."""
+    scaled = _scaled_spark(spark, sf)
+    probes = scaled.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("pemb"),
+        _dot(F.col("emb"), F.col("emb")).alias("nb"),
+    )
+    base = scaled.filter(F.col("vec_id") % 100 != 0).select(
+        "vec_id", "emb", _dot(F.col("emb"), F.col("emb")).alias("na")
+    )
+    pairs = base.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        F.floor(
+            10000.0
+            * _dot(F.col("emb"), F.col("pemb"))
+            / (F.sqrt("na") * F.sqrt("nb"))
+        )
+        .cast("bigint")
+        .alias("cos_x10000"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_x10000").desc(), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )

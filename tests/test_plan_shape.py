@@ -469,3 +469,13 @@ def test_lm_logprob_scoring_pass_map_only(spark, registry):
     before this plan exists)."""
     plan = _plan(registry["text_lm_logprob"].spark(spark, _SF))
     assert "Exchange" not in plan
+
+
+def test_topk_join_broadcast_probes_window_group_limit(spark, registry):
+    """sim_topk_join: the probe batch must broadcast (map-side scoring
+    nested loop — the INTENDED shape, base table never shuffles for
+    the join) and the per-probe rank must plan as WindowGroupLimit."""
+    plan = _plan(registry["sim_topk_join"].spark(spark, _SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
