@@ -2337,3 +2337,157 @@ def sim_topk_join(spark, sf):
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# --------------------------------------------- prefix-filter similarity join
+
+_PP_TAU = 0.6  # Jaccard threshold; prefix length = |s| - ceil(tau*|s|) + 1
+
+
+@register(
+    "dedup_ppjoin_prefix",
+    f"""WITH toks AS (SELECT DISTINCT doc_id, token FROM {_TOKENS}),
+        freq AS (SELECT token, count(*) AS f FROM toks GROUP BY token),
+        sized AS (
+          SELECT t.doc_id, t.token, f.f,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY f.f ASC, t.token) AS rn,
+                 count(*) OVER (PARTITION BY t.doc_id) AS sz
+          FROM toks t JOIN freq f USING (token)),
+        prefix AS (
+          SELECT doc_id, token, sz FROM sized
+          WHERE rn <= sz - CAST(ceil({_PP_TAU} * sz) AS BIGINT) + 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sz AS sza, b.sz AS szb
+          FROM prefix a JOIN prefix b ON a.token = b.token AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.da, c.db, c.sza, c.szb, count(*) AS i
+          FROM cand c
+          JOIN toks ta ON ta.doc_id = c.da
+          JOIN toks tb ON tb.doc_id = c.db AND tb.token = ta.token
+          GROUP BY c.da, c.db, c.sza, c.szb)
+       SELECT da AS doc_a, db AS doc_b,
+              CAST(i * 1000 // (sza + szb - i) AS BIGINT) AS jac_x1000
+       FROM inter WHERE i * 1000 // (sza + szb - i) >= {int(_PP_TAU * 1000)}""",
+)
+def dedup_ppjoin_prefix(spark, sf):
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin
+    family; 'Scalable and Robust Set Similarity Join', ICDE'18 — see
+    PAPERS.md): order each doc's distinct tokens by ascending GLOBAL
+    frequency, keep only the first |s| - ceil(tau*|s|) + 1 as its
+    prefix, and generate candidates from prefix-token collisions —
+    any pair with J >= tau MUST share a prefix token (pigeonhole), so
+    unlike the MinHash/LSH path (dedup_lsh_pairs) there are NO false
+    negatives; every candidate is then verified with the exact
+    intersection count.
+
+    Scale shape: the frequency join orders prefixes by the RAREST
+    tokens, so prefix-collision fanout is bounded by rare-token
+    frequencies (the filter's whole point — a stopword never lands in
+    a prefix); candidates dedup through one distinct exchange keyed by
+    the pair, and the verification join carries candidate pairs only,
+    never all pairs. Exchanges are all equi-keyed on token / doc_id /
+    pair; per-doc state is O(|s|) window partials. The LSH path is
+    cheaper per candidate at 10^10 docs; this is the exact-recall
+    alternative when false negatives are unacceptable (e.g. legal
+    dedup guarantees)."""
+    toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("f").asc(), F.col("token"))
+    ws = Window.partitionBy("doc_id")
+    sized = (
+        toks.join(freq, "token")
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("sz", F.count(F.lit(1)).over(ws))
+    )
+    prefix = sized.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(_PP_TAU) * F.col("sz")) + 1
+    ).select("doc_id", "token", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("da"), "token", F.col("sz").alias("sza")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("db"), "token", F.col("sz").alias("szb")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sza", "szb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("da"), "token")
+    tb = toks.select(F.col("doc_id").alias("db"), "token")
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.expr("i * 1000 div (sza + szb - i)")
+    return (
+        inter.filter(jac >= int(_PP_TAU * 1000))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            jac.cast("bigint").alias("jac_x1000"),
+        )
+    )
+
+
+# ------------------------------------------------------- set containment join
+
+
+@register(
+    "join_set_containment",
+    f"""WITH toks AS (SELECT DISTINCT doc_id, token FROM {_TOKENS}),
+        vocab AS (
+          SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS r
+          FROM toks GROUP BY token),
+        q AS (
+          SELECT CAST((r - 5) // 5 AS INT) AS query_id, token
+          FROM vocab WHERE r >= 5 AND r < 20 AND (r - 5) % 5 < 3),
+        hits AS (
+          SELECT q.query_id, t.doc_id, count(*) AS matched
+          FROM q JOIN toks t USING (token)
+          GROUP BY q.query_id, t.doc_id)
+       SELECT query_id, doc_id
+       FROM hits WHERE matched = 3""",
+)
+def join_set_containment(spark, sf):
+    """Set-CONTAINMENT join (LCJoin shape, ICDE'19 — PAPERS.md): find
+    every document whose token set contains ALL tokens of each query
+    set — boolean AND keyword search / required-token filtering over
+    the corpus. Query sets are derived deterministically from the
+    vocabulary (3 tokens each from frequency ranks 5..19, stride 5) so
+    both engines pose identical queries; containment is computed by
+    inverting the problem: join the tiny query-token dim against the
+    token index and keep docs whose per-query match count equals the
+    query size — no per-doc set materialization, no subset scan.
+
+    Scale shape: the query dim broadcasts (a handful of tokens); the
+    single real exchange is the (query_id, doc_id) count, whose
+    partials combine map-side. At 10^10 docs this is exactly an
+    inverted-index probe: each query token touches only its posting
+    rows, and selective (rare) tokens bound the fanout — the
+    list-crosscutting insight, expressed relationally."""
+    toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(20)
+        .collect()
+    )
+    # vocab list is 0-based; the twin's row_number ranks are 1-based,
+    # so 1-based rank 5 + qid*5 + j is list index 4 + qid*5 + j
+    qtokens = [
+        (qid, vocab[4 + qid * 5 + j]["token"]) for qid in range(3) for j in range(3)
+    ]
+    q = spark.createDataFrame(qtokens, "query_id int, token string")
+    hits = (
+        F.broadcast(q)
+        .join(toks, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return hits.filter(F.col("matched") == 3).select("query_id", "doc_id")
