@@ -479,3 +479,20 @@ def test_topk_join_broadcast_probes_window_group_limit(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ppjoin_all_joins_equi_keyed(spark, registry):
+    """dedup_ppjoin_prefix: candidate generation and verification must
+    stay equi-keyed (token / doc_id / pair) — a nested-loop anywhere
+    means the all-pairs blowup the prefix filter exists to avoid."""
+    plan = _plan(registry["dedup_ppjoin_prefix"].spark(spark, _SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_containment_broadcasts_query_dim(spark, registry):
+    """join_set_containment: the query-token dim must broadcast and the
+    match count must partial-aggregate map-side."""
+    plan = _plan(registry["join_set_containment"].spark(spark, _SF))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
