@@ -96,12 +96,34 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         paths = ensure_corpus(SMOKE)
         return spark.read.parquet(paths["images"]).drop("bytes")
 
+    def agg_crawl_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Crawl wave analytics over the ENGINE's crawl_order (the
+        oracle twin aggregates the serial oracle's parquet, so the
+        driver compare doubles as an engine-vs-oracle check at the
+        aggregate level): per depth, URLs fetched, fetch successes,
+        seeds reaching the depth, and distinct hosts touched."""
+        from pyspark.sql import functions as F
+
+        co = _run_engine(spark, validate_images=False).result_crawl_order()
+        return (
+            co.groupBy(F.col("depth").cast("int").alias("depth"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+                F.sum(F.col("fetch_ok").cast("int")).cast("bigint").alias("n_ok"),
+                F.countDistinct("seed_id").cast("bigint").alias("n_seeds"),
+                F.countDistinct(
+                    F.regexp_extract("url", "^https?://([^/]+)", 1)
+                ).cast("bigint").alias("n_hosts"),
+            )
+        )
+
     return {
         "loop_frontier_dfs": loop_frontier_dfs,
         "dedup_url_seen_engine": dedup_url_seen_engine,
         "udaf_social_extract": udaf_social_extract,
         "udf_image_decode": udf_image_decode,
         "src_s3_object": src_s3_object,
+        "agg_crawl_depth_stats": agg_crawl_depth_stats,
     }
 
 
@@ -222,6 +244,17 @@ def _engine_oracles() -> dict[str, str]:
             "phash AS phash_recomputed, TRUE AS phash_match, "
             "TRUE AS pixels_allclose, TRUE AS psnr_ok "
             f"FROM read_parquet('{cp['images']}')"
+        ),
+        # engine-side aggregate vs the SERIAL oracle's crawl aggregated
+        # identically — equality holds iff the engine's crawl matches
+        "agg_crawl_depth_stats": (
+            "SELECT CAST(depth AS INT) AS depth, "
+            "CAST(count(*) AS BIGINT) AS n_urls, "
+            "CAST(sum(CASE WHEN fetch_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok, "
+            "CAST(count(DISTINCT seed_id) AS BIGINT) AS n_seeds, "
+            "CAST(count(DISTINCT regexp_extract(url, '^https?://([^/]+)', 1)) AS BIGINT)"
+            " AS n_hosts "
+            f"FROM read_parquet('{op['crawl_order']}') GROUP BY depth"
         ),
     }
 
