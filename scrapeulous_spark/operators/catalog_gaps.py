@@ -725,3 +725,73 @@ def gate_proxy_pool(spark, sf):
         .cast("bigint")
         .alias("wave"),
     )
+
+
+# ------------------------------------------------------ JSON result ingest
+
+
+@register(
+    "src_json_results",
+    """WITH rendered AS (
+          SELECT doc_id,
+                 '{"doc": {"id": ' || doc_id || ', "lang": "' || lang || '"}, '
+                 || '"stats": {"chars": ' || n_chars || ', "bucket": '
+                 || (doc_id % 7) || '}, '
+                 || '"tags": ["' || lang || '", "' || source || '"]}' AS js
+          FROM documents)
+       SELECT doc_id,
+              CAST(json_extract(js, '$.doc.id') AS BIGINT) AS parsed_id,
+              json_extract_string(js, '$.doc.lang') AS lang,
+              CAST(json_extract(js, '$.stats.chars') AS BIGINT) AS n_chars,
+              CAST(json_extract(js, '$.stats.bucket') AS INT) AS bucket,
+              json_extract_string(js, '$.tags[1]') AS tag2,
+              (CAST(json_extract(js, '$.doc.id') AS BIGINT) = doc_id) AS id_roundtrip
+       FROM rendered""",
+)
+def src_json_results(spark, sf):
+    """Schema-on-read ingest of stored nested-JSON result records —
+    the inverse of sink_result_json and the shape every consumer of
+    the reference's output handles (per-item results are nested JSON
+    objects with scalar fields, sub-objects, and arrays, SURVEY §1.1 /
+    google_scraper.js:60-89). The record text is rendered
+    deterministically from columns (identical bytes in both engines),
+    then parsed back through a DECLARED StructType — from_json's typed
+    projection — with a round-trip flag proving parse fidelity.
+
+    Scale shape: from_json is a codegen'd JVM expression (Jackson
+    under the hood) in a map-only projection — no Python, no shuffle;
+    at 100 TB of JSONL this is the standard first stage after the
+    file scan, and the declared schema lets the parquet-style column
+    pruning happen at parse time (absent fields are NULL, matching
+    the reference's conditional-add semantics, SURVEY §1.3)."""
+    schema = (
+        "doc struct<id: bigint, lang: string>, "
+        "stats struct<chars: bigint, bucket: int>, "
+        "tags array<string>"
+    )
+    js = F.concat(
+        F.lit('{"doc": {"id": '),
+        F.col("doc_id"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('"}, "stats": {"chars": '),
+        F.col("n_chars"),
+        F.lit(', "bucket": '),
+        (F.col("doc_id") % 7),
+        F.lit('}, "tags": ["'),
+        F.col("lang"),
+        F.lit('", "'),
+        F.col("source"),
+        F.lit('"]}'),
+    )
+    rendered = T(spark, sf, "documents").select("doc_id", js.alias("js"))
+    p = F.from_json("js", schema)
+    return rendered.select(
+        "doc_id",
+        p["doc"]["id"].alias("parsed_id"),
+        p["doc"]["lang"].alias("lang"),
+        p["stats"]["chars"].alias("n_chars"),
+        p["stats"]["bucket"].alias("bucket"),
+        p["tags"][1].alias("tag2"),
+        (p["doc"]["id"] == F.col("doc_id")).alias("id_roundtrip"),
+    )
