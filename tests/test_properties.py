@@ -401,3 +401,41 @@ def test_resolve_col_matches_python_on_edge_links(spark):
     }
     for l in links:
         assert got[l] == U.resolve(l, origin), l
+
+
+# ------------------------------------------------- PPJoin prefix soundness
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ppjoin_prefix_filter_has_no_false_negatives(doc_sets):
+    """The prefix-filter GUARANTEE behind dedup_ppjoin_prefix
+    (operators/pipeline.py): with tokens ordered by ascending global
+    frequency and prefix length |s| - ceil(tau*|s|) + 1, EVERY pair
+    with Jaccard >= tau shares at least one prefix token. Both engine
+    twins share the same formula, so a cross-engine check cannot catch
+    an off-by-one in it — this pure-Python property test can."""
+    import math
+    from collections import Counter
+
+    tau = 0.6
+    freq = Counter(t for s in doc_sets for t in s)
+    prefixes = []
+    for s in doc_sets:
+        ordered = sorted(s, key=lambda t: (freq[t], t))
+        plen = len(s) - math.ceil(tau * len(s)) + 1
+        prefixes.append(set(ordered[:plen]))
+    for i in range(len(doc_sets)):
+        for j in range(i + 1, len(doc_sets)):
+            a, b = doc_sets[i], doc_sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                assert prefixes[i] & prefixes[j], (
+                    f"J={jac:.2f} pair with disjoint prefixes: {a} {b}"
+                )

@@ -2,7 +2,11 @@
 Spark AND its DuckDB oracle, compare row count / column names /
 order-insensitive values. Usage:
 
-    python tools/check_queries.py [sf_dir] [name ...]
+    python tools/check_queries.py [--time] [sf_dir] [name ...]
+
+--time prints per-query Spark/DuckDB wall seconds (slowest first) and
+the totals — the budget view of what the driver's correctness pass
+costs.
 """
 
 from __future__ import annotations
@@ -43,8 +47,12 @@ def canon(df_pandas):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    import time
+
+    argv = [a for a in sys.argv[1:] if a != "--time"]
+    timing = "--time" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import get_spark
@@ -57,15 +65,19 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failed, passed, rows_only = [], [], []
+    times: dict[str, tuple[float, float]] = {}
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = q.spark(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append((name, f"spark error: {str(e)[:300]}"))
             continue
+        t1 = time.monotonic()
         if q.oracle is None:
+            times[name] = (t1 - t0, 0.0)
             rows_only.append((name, len(sdf)))
             continue
         try:
@@ -73,6 +85,7 @@ def main():
         except Exception as e:
             failed.append((name, f"duckdb error: {str(e)[:300]}"))
             continue
+        times[name] = (t1 - t0, time.monotonic() - t1)
         scols, srows = canon(sdf)
         dcols, drows = canon(ddf)
         if scols != dcols:
@@ -93,6 +106,13 @@ def main():
         print(f"ROWS-ONLY  {name}  ({n} rows)")
     for name, msg in failed:
         print(f"FAIL  {name}: {msg}")
+    if timing:
+        print("\nper-query wall (spark_s, duck_s), slowest spark first:")
+        for name, (ts, td) in sorted(times.items(), key=lambda kv: -kv[1][0]):
+            print(f"  {ts:7.2f}  {td:7.2f}  {name}")
+        tot_s = sum(t[0] for t in times.values())
+        tot_d = sum(t[1] for t in times.values())
+        print(f"TOTAL spark {tot_s:.1f}s  duckdb {tot_d:.1f}s")
     print(f"\n{len(passed)} pass, {len(rows_only)} rows-only, {len(failed)} fail")
     sys.exit(1 if failed else 0)
 
