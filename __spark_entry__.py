@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail of their modules; surface them FIRST so a tight driver budget
     # starves re-verification, never first-verification
     newest_first = [
+        "audit_embedding_dims",
         "src_json_results",
         "dedup_ppjoin_prefix", "join_set_containment",
         "sim_topk_join",

@@ -2491,3 +2491,61 @@ def join_set_containment(spark, sf):
         .agg(F.count(F.lit(1)).alias("matched"))
     )
     return hits.filter(F.col("matched") == 3).select("query_id", "doc_id")
+
+
+# ------------------------------------------------------ embedding dim audit
+
+
+@register(
+    "audit_embedding_dims",
+    f"""WITH scaled AS {_SCALED},
+        comps AS (
+          SELECT CAST(generate_subscripts(emb, 1) AS INT) AS dim,
+                 unnest(emb) AS v
+          FROM scaled)
+       SELECT dim,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(v) AS BIGINT) AS min_x10000,
+              CAST(max(v) AS BIGINT) AS max_x10000,
+              CAST(sum(v) // count(*) AS BIGINT) AS mean_x10000,
+              CAST(sum(v * v) // count(*) AS BIGINT) AS msq_x1e8,
+              (min(v) = 0 AND max(v) = 0) AS dead_dim
+       FROM comps GROUP BY dim""",
+)
+def audit_embedding_dims(spark, sf):
+    """Per-DIMENSION profile of the embedding table: count, min/max,
+    mean, and mean-square of each coordinate, plus a dead-dimension
+    flag — the vector-QA audit run at ingest (a dim that is constant
+    zero across the corpus means a broken encoder head or a
+    quantization bug upstream; wildly asymmetric ranges break cosine
+    geometry). All arithmetic is on the x10000 integer scaling, so
+    sums and integer-divided means are EXACT in both engines — no
+    float aggregate appears anywhere.
+
+    Scale shape: one posexplode to (dim, component) then a groupBy(dim)
+    whose key cardinality is the embedding width (64-4096) — partials
+    collapse map-side, the exchange carries dims x partitions rows. At
+    10^10 vectors the better physical form is a single applyInPandas
+    per-partition numpy fold emitting the same per-dim partials; the
+    relational shape here is the portable baseline and plans with the
+    identical exchange."""
+    scaled = _scaled_spark(spark, sf)
+    comps = scaled.select(
+        F.posexplode("emb").alias("dim0", "v")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "v")
+    g = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("sq"),
+    )
+    return g.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mn").cast("bigint").alias("min_x10000"),
+        F.col("mx").cast("bigint").alias("max_x10000"),
+        F.expr("s div n").cast("bigint").alias("mean_x10000"),
+        F.expr("sq div n").cast("bigint").alias("msq_x1e8"),
+        ((F.col("mn") == 0) & (F.col("mx") == 0)).alias("dead_dim"),
+    )
