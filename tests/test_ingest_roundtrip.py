@@ -140,3 +140,32 @@ def test_lm_logprob_matches_python_twin(spark, registry):
             continue
         assert r["n_tokens"] == len(ts), r
         assert r["lp_micro_total"] == sum(lp.get(t, oov) for t in ts), r
+
+
+def test_redirect_resolve_matches_python_replay(spark, registry):
+    """Ground truth for join_redirect_resolve: rebuild the synthesized
+    edge map in plain Python, follow each chain up to 3 hops, and
+    require the Spark join cascade to agree on final_url, hop count,
+    and the truncation flag for every URL."""
+    import hashlib
+    import re
+
+    pages = pq.read_table(ensure_corpus(SMOKE)["pages"], columns=["url"])
+    urls = pages["url"].to_pylist()
+    edges = {}
+    for u in urls:
+        # the op keys off _h32 (first 8 md5 hex chars), not crc32
+        h = int(hashlib.md5(f"redir:{u}".encode()).hexdigest()[:8], 16)
+        if h % 5 == 0:
+            pn = int(re.search(r"p(\d+)$", u).group(1))
+            edges[u] = re.sub(r"p\d+$", "", u) + f"p{pn + 1}"
+    rows = registry["join_redirect_resolve"].spark(spark, _SF).collect()
+    assert len(rows) == len(urls)
+    for r in rows:
+        cur, hops = r["url"], 0
+        while cur in edges and hops < 3:
+            cur = edges[cur]
+            hops += 1
+        assert r["final_url"] == cur, r
+        assert r["hops"] == hops, r
+        assert r["truncated"] == (hops == 3 and cur in edges), r
