@@ -117,6 +117,37 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def agg_seed_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-seed crawl yield joining TWO engine tables (crawl_order
+        x entities) — the oracle twin joins the serial oracle's two
+        parquets identically, so the compare checks cross-table
+        consistency of the engine outputs, not just each table alone."""
+        from pyspark.sql import functions as F
+
+        eng = _run_engine(spark, validate_images=False)
+        co = eng.result_crawl_order().groupBy("seed_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum(F.col("fetch_ok").cast("int")).cast("bigint").alias("n_ok"),
+        )
+        ent = eng.result_entities().groupBy("seed_id").agg(
+            F.sum((F.col("kind") == "email").cast("int"))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.sum((F.col("kind") == "phone").cast("int"))
+            .cast("bigint")
+            .alias("n_phones"),
+        )
+        return (
+            co.join(ent, "seed_id", "left")
+            .select(
+                F.col("seed_id").cast("bigint").alias("seed_id"),
+                "n_urls",
+                "n_ok",
+                F.coalesce("n_emails", F.lit(0)).cast("bigint").alias("n_emails"),
+                F.coalesce("n_phones", F.lit(0)).cast("bigint").alias("n_phones"),
+            )
+        )
+
     return {
         "loop_frontier_dfs": loop_frontier_dfs,
         "dedup_url_seen_engine": dedup_url_seen_engine,
@@ -124,6 +155,7 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_image_decode": udf_image_decode,
         "src_s3_object": src_s3_object,
         "agg_crawl_depth_stats": agg_crawl_depth_stats,
+        "agg_seed_yield": agg_seed_yield,
     }
 
 
@@ -258,6 +290,19 @@ def _engine_oracles() -> dict[str, str]:
             "CAST(count(DISTINCT regexp_extract(url, '^https?://([^/]+)', 1)) AS BIGINT)"
             " AS n_hosts "
             f"FROM read_parquet('{op['crawl_order']}') GROUP BY depth"
+        ),
+        "agg_seed_yield": (
+            "WITH co AS (SELECT seed_id, CAST(count(*) AS BIGINT) AS n_urls, "
+            "CAST(sum(CASE WHEN fetch_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok "
+            f"FROM read_parquet('{op['crawl_order']}') GROUP BY seed_id), "
+            "ent AS (SELECT seed_id, "
+            "CAST(sum(CASE WHEN kind = 'email' THEN 1 ELSE 0 END) AS BIGINT) AS n_emails, "
+            "CAST(sum(CASE WHEN kind = 'phone' THEN 1 ELSE 0 END) AS BIGINT) AS n_phones "
+            f"FROM read_parquet('{op['entities']}') GROUP BY seed_id) "
+            "SELECT CAST(co.seed_id AS BIGINT) AS seed_id, co.n_urls, co.n_ok, "
+            "CAST(coalesce(ent.n_emails, 0) AS BIGINT) AS n_emails, "
+            "CAST(coalesce(ent.n_phones, 0) AS BIGINT) AS n_phones "
+            "FROM co LEFT JOIN ent ON co.seed_id = ent.seed_id"
         ),
     }
 
