@@ -79,6 +79,11 @@ HEADLINE = [
     "text_quality_score",
     "agg_event_sessionize",
     "pipeline_curation_e2e",
+    "text_char_entropy",
+    "sim_topk_join",
+    # NOT dedup_ppjoin_prefix: exact-recall output is O(cluster^2)
+    # pairs over the corpus's planted dup groups (~110s at sf0.1 —
+    # the result set, not the plan, is the cost; LSH is the scale path)
 ]
 
 

@@ -2387,10 +2387,15 @@ def dedup_ppjoin_prefix(spark, sf):
     a prefix); candidates dedup through one distinct exchange keyed by
     the pair, and the verification join carries candidate pairs only,
     never all pairs. Exchanges are all equi-keyed on token / doc_id /
-    pair; per-doc state is O(|s|) window partials. The LSH path is
-    cheaper per candidate at 10^10 docs; this is the exact-recall
+    pair; per-doc state is O(|s|) window partials. Cost caveat
+    (measured): exact recall means the OUTPUT is every qualifying
+    pair — a duplicate cluster of m near-identical docs yields O(m^2)
+    rows (~110s at sf0.1 on this corpus's planted dup groups, vs ~2s
+    for the LSH path whose banding thins the same clusters) — so LSH
+    stays the 10^10-docs default and this is the exact-recall
     alternative when false negatives are unacceptable (e.g. legal
-    dedup guarantees)."""
+    dedup guarantees); at scale run it AFTER exact-hash dedup has
+    collapsed identical docs so clusters are small."""
     toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
     wd = Window.partitionBy("doc_id").orderBy(F.col("f").asc(), F.col("token"))
