@@ -1444,6 +1444,13 @@ def audit_url_templates(spark, sf):
 
 # -------------------------------------------------------- host reputation
 
+# Admission thresholds shared by agg_host_reputation AND
+# pipeline_frontier_admission_e2e (both engines' twins interpolate the
+# same constants, so tuning them cannot decouple the scorecard from
+# the e2e admission verdicts)
+_REP_MAX_ERR_PERMILLE = 300
+_REP_MAX_DUP_PERMILLE = 200
+
 
 @register(
     "agg_host_reputation",
@@ -1460,8 +1467,10 @@ def audit_url_templates(spark, sf):
               CAST((count(*) - count(DISTINCT sig)) * 1000 // count(*) AS BIGINT)
                 AS dup_permille,
               CAST(sum(blen) // count(*) AS BIGINT) AS avg_body_len,
-              (sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000 // count(*) <= 300
-               AND (count(*) - count(DISTINCT sig)) * 1000 // count(*) <= 200)
+              (sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000
+                   // count(*) <= {_REP_MAX_ERR_PERMILLE}
+               AND (count(*) - count(DISTINCT sig)) * 1000
+                   // count(*) <= {_REP_MAX_DUP_PERMILLE})
                 AS reputable
        FROM s GROUP BY host""",
 )
@@ -1500,7 +1509,8 @@ def agg_host_reputation(spark, sf):
         F.expr("(n - d) * 1000 div n").cast("bigint").alias("dup_permille"),
         F.expr("bl div n").cast("bigint").alias("avg_body_len"),
         (
-            (F.expr("e * 1000 div n") <= 300) & (F.expr("(n - d) * 1000 div n") <= 200)
+            (F.expr("e * 1000 div n") <= _REP_MAX_ERR_PERMILLE)
+            & (F.expr("(n - d) * 1000 div n") <= _REP_MAX_DUP_PERMILLE)
         ).alias("reputable"),
     )
 
@@ -1687,9 +1697,9 @@ def join_redirect_resolve(spark, sf):
         rep AS (
           SELECT host,
                  (sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) * 1000
-                    // count(*) <= 300
+                    // count(*) <= {_REP_MAX_ERR_PERMILLE}
                   AND (count(*) - count(DISTINCT md5(coalesce(body, '')))) * 1000
-                    // count(*) <= 200) AS reputable
+                    // count(*) <= {_REP_MAX_DUP_PERMILLE}) AS reputable
           FROM read_parquet('{_P["pages"]}') GROUP BY host),
         rob AS (SELECT host, disallow FROM read_parquet('{_P["robots"]}')),
         j AS (
@@ -1745,8 +1755,8 @@ def pipeline_frontier_admission_e2e(spark, sf):
         .select(
             "host",
             (
-                (F.expr("e * 1000 div n") <= 300)
-                & (F.expr("(n - d) * 1000 div n") <= 200)
+                (F.expr("e * 1000 div n") <= _REP_MAX_ERR_PERMILLE)
+                & (F.expr("(n - d) * 1000 div n") <= _REP_MAX_DUP_PERMILLE)
             ).alias("reputable"),
         )
     )

@@ -2242,9 +2242,14 @@ def text_lm_logprob(spark, sf):
     toks = docs.filter(F.trim(F.coalesce("text", F.lit(""))) != "").select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    cnt = toks.groupBy("token").count()
-    rows = cnt.orderBy(F.col("count").desc(), "token").limit(_LM_VOCAB_K).collect()
-    total = cnt.agg(F.sum("count")).collect()[0][0]
+    # two driver actions read cnt (top-K + grand total): persist so the
+    # tokenize-explode-count shuffle runs once, not twice
+    cnt = toks.groupBy("token").count().persist()
+    try:
+        rows = cnt.orderBy(F.col("count").desc(), "token").limit(_LM_VOCAB_K).collect()
+        total = cnt.agg(F.sum("count")).collect()[0][0]
+    finally:
+        cnt.unpersist()
     lp = {r["token"]: int(round(math.log(r["count"] / total) * 1e6)) for r in rows}
     oov = int(round(math.log(1.0 / total) * 1e6))
     vocab_map = F.create_map(
@@ -2484,9 +2489,15 @@ def join_set_containment(spark, sf):
         .collect()
     )
     # vocab list is 0-based; the twin's row_number ranks are 1-based,
-    # so 1-based rank 5 + qid*5 + j is list index 4 + qid*5 + j
+    # so 1-based rank 5 + qid*5 + j is list index 4 + qid*5 + j.
+    # Bounds-guarded like the twin's WHERE r < 20: a degenerate corpus
+    # with < 17 distinct tokens yields fewer (partial) query sets in
+    # BOTH engines instead of an IndexError here
     qtokens = [
-        (qid, vocab[4 + qid * 5 + j]["token"]) for qid in range(3) for j in range(3)
+        (qid, vocab[4 + qid * 5 + j]["token"])
+        for qid in range(3)
+        for j in range(3)
+        if 4 + qid * 5 + j < len(vocab)
     ]
     q = spark.createDataFrame(qtokens, "query_id int, token string")
     hits = (

@@ -76,8 +76,11 @@ def main():
             failed.append((name, f"spark error: {str(e)[:300]}"))
             continue
         t1 = time.monotonic()
+        # record the spark wall even when the oracle side errors below
+        # — the budget view must not lose exactly the expensive
+        # entries being debugged
+        times[name] = (t1 - t0, 0.0)
         if q.oracle is None:
-            times[name] = (t1 - t0, 0.0)
             rows_only.append((name, len(sdf)))
             continue
         try:
