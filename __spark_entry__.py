@@ -159,34 +159,58 @@ def _engine_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# Queries the round-1 driver DID verify (CORRECTNESS_r01.json rows).
-# The driver walks queries() in registration order under a budget and
-# round 1 starved everything after position 50 — so the never-verified
-# set registers FIRST and these proven-green ones re-verify last.
-_VERIFIED_R01 = [
-    "rank_position", "rank_post_filter", "rank_zero_based",
-    "limit_max_images", "limit_max_requests", "topk_frontier_pop",
-    "union_ad_blocks", "dedup_url_seen", "dedup_result_fields",
-    "agg_accumulate_pages", "agg_results_per_key", "dedup_extensions",
-    "join_frontier_seen", "join_params_merge", "join_budget_asof",
-    "join_imgref_consistency", "filt_clean_results", "filt_blocked_detect",
-    "filt_organic_admission", "fn_num_norm_float", "fn_num_strip_parens",
-    "fn_price_extract", "filt_price_present", "fn_total_results",
-    "fn_split_dot_sep", "fn_split_dash", "fn_str_insert",
-    "fn_normalize_key", "fn_trim_nonempty", "fn_base64_encode",
-    "fn_regex_email", "fn_regex_github", "fn_regex_phones",
-    "fn_url_param_extract", "fn_url_parse", "src_serp_url_build",
-    "src_pagination_loop", "sink_result_json", "sink_pdf",
-    "fn_uri_encode", "fn_url_params_map", "fn_regex_instagram",
-    "fn_regex_facebook", "fn_regex_twitter", "fn_page_title",
-    # ran in round 1 as rows-only (no_oracle) — they now have real
-    # oracles where twinnable, but were at least SEEN by the driver
-    "src_http_get", "src_browser_render", "sink_screenshot",
-    "udf_custom_crawler", "join_payload_oracle",
-]
+def _correctness_history() -> dict[str, tuple[int, bool]]:
+    """Driver-verification history, read from the CORRECTNESS_r*.json
+    files the driver commits each round: name -> (last round the query
+    appeared in, whether that row was fully green rows+schema+hash).
+
+    Round-2 verdict #1: rounds 1 and 2 both hand-maintained ordering
+    lists and both starved a different slice of the backlog.  This is
+    the mechanical replacement — ordering derives from the committed
+    verification record, never from an editable list.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = isinstance(row, dict) and row.get("hash_match") is True
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is DATA-DRIVEN (round-2 verdict #1):
+
+    1. never-driver-verified queries (no row in any CORRECTNESS_r*.json),
+       `proj_*` first — the SERP extraction family has gone two rounds
+       with no driver row;
+    2. queries whose last driver row was not fully green (the round-1
+       rows-only/no_oracle five, or any future failure);
+    3. green queries, stalest verification round first (engine-native
+       crawl views share one memoized engine run, so their re-check is
+       cheap whenever the budget reaches them).
+
+    New catalog entries automatically land in tier 1 — behind nothing,
+    ahead of every re-verification — so catalog growth can never starve
+    first-time verification again.
+    """
     from scrapeulous_spark.operators import load_all_catalogs
     from scrapeulous_spark.session import ship_package
 
@@ -200,51 +224,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapper
 
     catalog = load_all_catalogs()
-    seen_r01 = set(_VERIFIED_R01)
-    # queries added AFTER the round-2 driver-order fix register at the
-    # tail of their modules; surface them FIRST so a tight driver budget
-    # starves re-verification, never first-verification
-    newest_first = [
-        "audit_embedding_dims",
-        "src_json_results",
-        "dedup_ppjoin_prefix", "join_set_containment",
-        "sim_topk_join",
-        "pipeline_frontier_admission_e2e",
-        "join_redirect_resolve",
-        "audit_url_templates", "agg_host_reputation", "img_size_gate",
-        "text_lm_logprob",
-        "src_warc_records", "src_sitemap_urls", "fn_html_to_text",
-        "rank_recrawl_priority", "text_char_entropy",
-        "agg_source_rollup", "agg_lang_pivot", "join_event_session_range",
-        "agg_event_rolling_rate", "agg_value_percentiles",
-        "setop_converted_users", "join_user_stats_bucketed", "fn_url_surt",
-        "rank_link_pagerank", "diff_crawl_snapshots", "audit_politeness_gaps",
-        "audit_documents_profile",
-    ]
-    stale = [n for n in newest_first if n not in catalog]
-    assert not stale, f"newest_first names not in catalog (renamed?): {stale}"
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: shipped(catalog[name].spark) for name in newest_first
-    }
-    # engine-native queries next — the flagship crawl views (exact-match
-    # vs the serial oracle) must never be starved by the budget; ONE
-    # shared crawl serves them all (memoized _run_engine)
-    out.update({name: shipped(fn) for name, fn in _engine_queries().items()})
-    out.update(
-        {
-            name: shipped(q.spark)
-            for name, q in catalog.items()
-            if name not in seen_r01 and name not in out
-        }
-    )
-    # round-1-verified queries re-verify last
-    out.update(
-        {
-            name: shipped(catalog[name].spark)
-            for name in _VERIFIED_R01
-            if name in catalog
-        }
-    )
+    engine = _engine_queries()
+    hist = _correctness_history()
+
+    all_names = list(catalog)
+    all_names += [n for n in engine if n not in catalog]
+
+    def tier(name: str) -> tuple:
+        row = hist.get(name)
+        if row is None:
+            # tier 0: never verified; proj_* jump the queue inside it
+            return (0, 0 if name.startswith("proj_") else 1, name)
+        rnd, green = row
+        if not green:
+            return (1, rnd, name)
+        # tier 2: stalest green first
+        return (2, rnd, name)
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in sorted(all_names, key=tier):
+        fn = engine[name] if name in engine else catalog[name].spark
+        out[name] = shipped(fn)
     return out
 
 

@@ -1200,7 +1200,7 @@ def src_sitemap_urls(spark, sf):
                     trim(regexp_replace(
                         replace(replace(replace(
                             regexp_replace(coalesce(body, ''), '<[^>]*>', ' ', 'g'),
-                            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                            '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
                         '\\s+', ' ', 'g')) AS text
              FROM read_parquet('{_P["pages"]}'))""",
 )
@@ -1218,6 +1218,8 @@ def fn_html_to_text(spark, sf):
     (sig, head, n_words) at the scan and never shuffle. A 100 TB page
     store runs this as a projection inside whatever job reads it next
     — zero extra passes."""
+    # entity decode order matters: '&amp;' must decode LAST, or
+    # '&amp;lt;' double-decodes to '<' (round-2 ADVICE)
     text = F.trim(
         F.regexp_replace(
             F.replace(
@@ -1226,14 +1228,14 @@ def fn_html_to_text(spark, sf):
                         F.regexp_replace(
                             F.coalesce(F.col("body"), F.lit("")), "<[^>]*>", " "
                         ),
-                        F.lit("&amp;"),
-                        F.lit("&"),
+                        F.lit("&lt;"),
+                        F.lit("<"),
                     ),
-                    F.lit("&lt;"),
-                    F.lit("<"),
+                    F.lit("&gt;"),
+                    F.lit(">"),
                 ),
-                F.lit("&gt;"),
-                F.lit(">"),
+                F.lit("&amp;"),
+                F.lit("&"),
             ),
             r"\s+",
             " ",
@@ -1685,13 +1687,28 @@ def join_redirect_resolve(spark, sf):
 
 @register(
     "pipeline_frontier_admission_e2e",
-    f"""WITH disc AS (
-          SELECT DISTINCT unnest(out_links) AS url
+    f"""WITH links AS (
+          SELECT regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
+                 trim(unnest(out_links)) AS l
           FROM read_parquet('{_P["pages"]}')),
+        res AS (
+          SELECT l, CASE WHEN l = '' THEN NULL
+                         WHEN regexp_matches(l, '^https?://.+') THEN l
+                         WHEN substr(l, 1, 1) = '/' THEN origin || l
+                         ELSE NULL END AS resolved
+          FROM links),
+        disc AS (
+          SELECT DISTINCT
+                 CASE WHEN resolved IS NULL THEN l
+                      ELSE replace(resolved, '#', '') END AS url,
+                 (resolved IS NULL) AS unresolvable
+          FROM res),
         d AS (
-          SELECT url,
-                 regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-                 regexp_replace(url, '^https?://[^/]*', '') AS path
+          SELECT url, unresolvable,
+                 CASE WHEN unresolvable THEN ''
+                      ELSE regexp_extract(url, '^https?://([^/]+)', 1) END AS host,
+                 CASE WHEN unresolvable THEN ''
+                      ELSE regexp_replace(url, '^https?://[^/]*', '') END AS path
           FROM disc),
         seen AS (SELECT DISTINCT url FROM read_parquet('{_P["pages"]}')),
         rep AS (
@@ -1703,7 +1720,7 @@ def join_redirect_resolve(spark, sf):
           FROM read_parquet('{_P["pages"]}') GROUP BY host),
         rob AS (SELECT host, disallow FROM read_parquet('{_P["robots"]}')),
         j AS (
-          SELECT d.url, d.host,
+          SELECT d.url, d.host, d.unresolvable,
                  (s.url IS NOT NULL) AS crawled,
                  coalesce(len(list_filter(rob.disallow,
                      x -> substr(d.path, 1, length(x)) = x)) > 0, FALSE) AS blocked,
@@ -1712,37 +1729,60 @@ def join_redirect_resolve(spark, sf):
                  LEFT JOIN rob ON d.host = rob.host
                  LEFT JOIN rep ON d.host = rep.host)
        SELECT url, host,
-              CASE WHEN crawled THEN 'already_seen'
+              CASE WHEN unresolvable THEN 'unresolvable'
+                   WHEN crawled THEN 'already_seen'
                    WHEN blocked THEN 'robots_disallow'
                    WHEN NOT reputable THEN 'bad_host'
                    ELSE 'admitted' END AS verdict,
-              (NOT crawled AND NOT blocked AND reputable) AS admitted
+              (NOT unresolvable AND NOT crawled AND NOT blocked AND reputable)
+                AS admitted
        FROM j""",
 )
 def pipeline_frontier_admission_e2e(spark, sf):
-    """The composed frontier-admission sweep: every DISCOVERED URL
-    (exploded out_links) runs the full gate chain in one pass —
-    seen-set membership, robots Disallow prefixes, and host reputation
-    — and gets a verdict with first-fail precedence instead of a
-    silent drop (the auditable form of what CrawlEngine's superstep
-    does with anti-joins; the reference's equivalents are the Set
-    dedup social.js:127 and same-domain skip :115-119, which discard
-    without a trace). Composes this session's gates the way a real
-    frontier MERGE consumes them.
+    """The composed frontier-admission sweep: every DISCOVERED link is
+    first RESOLVED against its source page's origin and normalized with
+    the engine's own resolver (functions/urls.py resolve_col +
+    normalize_col — the same semantics CrawlEngine applies before its
+    seen-set anti-join, pinned to social.js:109/121-123), then runs the
+    full gate chain in one pass — seen-set membership, robots Disallow
+    prefixes, and host reputation — and gets a verdict with first-fail
+    precedence instead of a silent drop (the reference's equivalents
+    are the Set dedup social.js:127 and same-domain skip :115-119,
+    which discard without a trace). Unresolvable hrefs (empty, mailto:,
+    bare fragments — social.js:110-113 `continue`s on parse error) get
+    an explicit 'unresolvable' verdict rather than leaking through as
+    'admitted'. Composes this session's gates the way a real frontier
+    MERGE consumes them.
 
-    Scale shape, cheapest-cut-first: the link explosion dedups through
-    ONE distinct exchange (10^11 edges -> 10^10 urls); the seen
-    membership is the engine's hot sort-merge join shape carrying
-    (url) only; robots rules and the per-host reputation aggregate are
-    broadcast dims (hosts << urls), so the big side shuffles exactly
-    twice regardless of scale — and the reputation aggregate reads
-    body bytes only as map-side md5 partials."""
+    Scale shape, cheapest-cut-first: resolution is a map-side
+    projection on the exploded edges; dedup is ONE distinct exchange
+    (10^11 edges -> 10^10 urls); the seen membership is the engine's
+    hot sort-merge join shape carrying (url) only; robots rules and
+    the per-host reputation aggregate are broadcast dims (hosts <<
+    urls), so the big side shuffles exactly twice regardless of scale
+    — and the reputation aggregate reads body bytes only as map-side
+    md5 partials."""
+    from ..functions.urls import normalize_col, origin_col, resolve_col
+
     pages = _corpus(spark, "pages")
-    disc = pages.select(F.explode("out_links").alias("url")).distinct()
+    links = pages.select(
+        origin_col(F.col("url")).alias("origin"),
+        F.explode("out_links").alias("link"),
+    )
+    resolved = normalize_col(resolve_col(F.col("link"), F.col("origin")))
+    disc = links.select(
+        F.coalesce(resolved, F.trim("link")).alias("url"),
+        resolved.isNull().alias("unresolvable"),
+    ).distinct()
     d = disc.select(
         "url",
-        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
-        F.regexp_replace("url", "^https?://[^/]*", "").alias("path"),
+        "unresolvable",
+        F.when(F.col("unresolvable"), F.lit("")).otherwise(
+            F.regexp_extract("url", "^https?://([^/]+)", 1)
+        ).alias("host"),
+        F.when(F.col("unresolvable"), F.lit("")).otherwise(
+            F.regexp_replace("url", "^https?://[^/]*", "")
+        ).alias("path"),
     )
     seen = pages.select("url").distinct().withColumn("crawled", F.lit(True))
     rep = (
@@ -1768,6 +1808,7 @@ def pipeline_frontier_admission_e2e(spark, sf):
         .select(
             "url",
             "host",
+            "unresolvable",
             F.coalesce("crawled", F.lit(False)).alias("crawled"),
             F.coalesce(
                 F.exists(
@@ -1781,10 +1822,16 @@ def pipeline_frontier_admission_e2e(spark, sf):
     return j.select(
         "url",
         "host",
-        F.when(F.col("crawled"), "already_seen")
+        F.when(F.col("unresolvable"), "unresolvable")
+        .when(F.col("crawled"), "already_seen")
         .when(F.col("blocked"), "robots_disallow")
         .when(~F.col("reputable"), "bad_host")
         .otherwise("admitted")
         .alias("verdict"),
-        (~F.col("crawled") & ~F.col("blocked") & F.col("reputable")).alias("admitted"),
+        (
+            ~F.col("unresolvable")
+            & ~F.col("crawled")
+            & ~F.col("blocked")
+            & F.col("reputable")
+        ).alias("admitted"),
     )

@@ -2190,6 +2190,17 @@ def text_char_entropy(spark, sf):
 _LM_VOCAB_K = 256
 
 
+def round_half_away(x: float) -> int:
+    """Half-away-from-zero integer rounding — the tie rule BOTH engines
+    use (DuckDB round(); Spark F.round is BigDecimal HALF_UP, which is
+    away-from-zero on ties). Python's built-in round() is half-to-even,
+    so driver-side pinning with it could diverge from an oracle on an
+    exact .5 (round-2 ADVICE)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def _lm_oracle_sql() -> str:
     return f"""WITH toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -2250,8 +2261,11 @@ def text_lm_logprob(spark, sf):
         total = cnt.agg(F.sum("count")).collect()[0][0]
     finally:
         cnt.unpersist()
-    lp = {r["token"]: int(round(math.log(r["count"] / total) * 1e6)) for r in rows}
-    oov = int(round(math.log(1.0 / total) * 1e6))
+    lp = {
+        r["token"]: round_half_away(math.log(r["count"] / total) * 1e6)
+        for r in rows
+    }
+    oov = round_half_away(math.log(1.0 / total) * 1e6)
     vocab_map = F.create_map(
         *[F.lit(x) for kv in lp.items() for x in kv]
     )

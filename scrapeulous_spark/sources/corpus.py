@@ -348,7 +348,17 @@ def gen_warc_shards(p: CorpusParams, per_shard: int = 16) -> pa.Table:
         zip(pages["url"].to_pylist(), pages["body"].to_pylist())
     ):
         b = b or ""
-        assert "\n" not in b and "WARC/1.0" not in b
+        if "\n" in b or "WARC/1.0" in b:
+            # raise (not assert): this runs at catalog import via
+            # ensure_warc, and asserts vanish under python -O — a corpus
+            # change that breaks the one-line-payload invariant must
+            # fail loudly with a pointer at the offending page
+            raise ValueError(
+                f"gen_warc_shards: page body for {u!r} violates the "
+                "single-line / no-'WARC/1.0' invariant (Content-Length "
+                "slicing assumes one-line payloads); escape or rework "
+                "the corpus change that introduced it"
+            )
         h = zlib.crc32(f"warc:{u}".encode()) & 0xFFFFFFFF
         declared = len(b)
         stored = b[:-3] if (h % 31 == 0 and len(b) > 3) else b

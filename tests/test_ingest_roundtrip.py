@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from scrapeulous_spark.operators import load_all_catalogs
+from scrapeulous_spark.operators.pipeline import round_half_away
 from scrapeulous_spark.sources.corpus import (
     SMOKE,
     ensure_corpus,
@@ -105,7 +106,7 @@ def test_char_entropy_matches_python_twin(spark, registry):
         ent = -sum(
             (c / total) * math.log2(c / total) for c in counts if c > 0
         )
-        assert r["ent_millibits"] == round(ent * 1000), (r, ent)
+        assert r["ent_millibits"] == round_half_away(ent * 1000), (r, ent)
 
 
 def test_lm_logprob_matches_python_twin(spark, registry):
@@ -129,8 +130,8 @@ def test_lm_logprob_matches_python_twin(spark, registry):
     cnt = Counter(t for ts in tok.values() for t in ts)
     total = sum(cnt.values())
     vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_LM_VOCAB_K]
-    lp = {t: round(math.log(c / total) * 1e6) for t, c in vocab}
-    oov = round(math.log(1.0 / total) * 1e6)
+    lp = {t: round_half_away(math.log(c / total) * 1e6) for t, c in vocab}
+    oov = round_half_away(math.log(1.0 / total) * 1e6)
     rows = registry["text_lm_logprob"].spark(spark, _SF).collect()
     assert len(rows) == len(docs)
     for r in rows:
