@@ -160,9 +160,9 @@ def serp(
         store = store.join(F.broadcast(_items_df(spark, keywords, "keyword")), "keyword")
     # bing organic admission: title && link — the SAME pattern objects
     # proj_bing_organic parses with (imported, not re-declared)
-    from .operators.catalog_serp import _P_B_LINK, _P_B_ORG, _P_B_TITLE
+    from .operators.catalog_serp import _P_B_LINK, _P_B_ORG, _P_B_TITLE, _canon
 
-    blocks = F.regexp_extract_all("body", F.lit(_P_B_ORG), 0)
+    blocks = F.regexp_extract_all(_canon(F.col("body")), F.lit(_P_B_ORG), 0)
     adm = F.filter(
         blocks,
         lambda b: (F.regexp_extract(b, _P_B_LINK, 1) != "")

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from ..sources.serp_corpus import (
+    INLINE_PAIR_RES,
+    JUNCTION_WS_RE,
     NEG_SRC,
     POS_SRC,
     SMOKE as SERP_SMOKE,
@@ -42,6 +44,36 @@ from ..sources.serp_corpus import (
 # resolved (and generated if absent) at import so every oracle SQL
 # string below embeds a path that exists by the time DuckDB runs it
 _SP = ensure_serp_corpus(SERP_SMOKE)
+
+# ------------------------------------------------- canonicalization
+#
+# The v2 corpus injects real-DOM markup variance (serp_corpus.py:
+# whitespace-only text nodes between tags, permuted attribute order,
+# inline formatting tags nested in innerText-read text). Every parser
+# runs on the CANONICAL body: junction whitespace collapsed, inline
+# formatting tags stripped (the regex twin of innerText flattening).
+# Attribute-order variance is handled structurally instead — see the
+# _tag_attr / _el_* two-stage helpers below. The same pre-pass exists
+# in three engines: Spark (_canon), DuckDB (_OBODY), and plain Python
+# (serp_corpus.canon_py, used by the serial pagination oracle).
+
+
+def _canon(c):
+    c = F.regexp_replace(c, JUNCTION_WS_RE, "><")
+    for pat, g in INLINE_PAIR_RES:
+        c = F.regexp_replace(c, pat, f"${g}")
+    return c
+
+
+_OBODY = "regexp_replace(body, '>\\s+<', '><', 'g')"
+for _pat, _g in INLINE_PAIR_RES:
+    _OBODY = f"regexp_replace({_OBODY}, '{_pat}', '\\{_g}', 'g')"
+# canonical page source for every oracle twin (sink_raw_html excepted:
+# a raw-payload sink ships the body untransformed on both sides)
+_OP = (
+    f"(SELECT url, engine, keyword, page_num, {_OBODY} AS body "
+    f"FROM read_parquet('{_SP}'))"
+)
 
 # error-string fallbacks: the reference formats `Error parsing ad
 # <field>: ${err.message}`; the message is the deterministic null-deref
@@ -64,8 +96,11 @@ def _q(s: str) -> str:
 # --------------------------------------------------- spark-side helpers
 
 
-def _serp(spark: SparkSession, engine: str) -> DataFrame:
-    return spark.read.parquet(_SP).where(F.col("engine") == engine)
+def _serp(spark: SparkSession, engine: str, raw: bool = False) -> DataFrame:
+    df = spark.read.parquet(_SP).where(F.col("engine") == engine)
+    if raw:
+        return df
+    return df.withColumn("body", _canon(F.col("body")))
 
 
 def _blocks(spark: SparkSession, engine: str, pat: str) -> DataFrame:
@@ -92,6 +127,14 @@ def _strip_tags(c):
     return F.regexp_replace(c, "<[^>]*>", "")
 
 
+def _tag_attr(c, tagpat: str, attr: str):
+    """Order-insensitive attribute read (v2 corpus permutes attribute
+    order): match the tag by its distinguishing class/attribute
+    anywhere via `tagpat`, then pull `attr` out of the matched tag
+    text. NULL when the tag or the attribute is absent."""
+    return _x(F.regexp_extract(c, tagpat, 0), attr + '="([^"]*)"')
+
+
 def _dec(c):
     """decodeURIComponent for the fixed escape set the corpus encodes
     (serp_corpus.url_encode_fixed)."""
@@ -114,12 +157,13 @@ def _js_parsefloat(c):
 
 def _ob(engine: str, pat: str) -> str:
     """Oracle CTE `b(url, pos1, blk)` — same block extraction as
-    _blocks(); generate_subscripts zips 1-based positions with unnest."""
+    _blocks() over the CANONICAL body; generate_subscripts zips
+    1-based positions with unnest."""
     return (
         "WITH b AS (SELECT url, "
         f"unnest(regexp_extract_all(body, '{pat}')) AS blk, "
         f"generate_subscripts(regexp_extract_all(body, '{pat}'), 1) AS pos1 "
-        f"FROM read_parquet('{_SP}') WHERE engine = '{engine}')"
+        f"FROM {_OP} WHERE engine = '{engine}')"
     )
 
 
@@ -140,6 +184,14 @@ def _ojspf(x: str) -> str:
     )
 
 
+def _otag_attr(x: str, tagpat: str, attr: str) -> str:
+    """Oracle twin of _tag_attr."""
+    return (
+        f"nullif(regexp_extract(regexp_extract({x}, '{tagpat}'), "
+        f"'{attr}=\"([^\"]*)\"', 1), '')"
+    )
+
+
 # ================================================================ google
 
 
@@ -148,9 +200,14 @@ _P_G_ORG = '<div class="g">.*?</div>'
 # google_scraper.js:154-156), group2 = snippet text
 _P_G_ST = '<span class="st">(?:<span class="f">([^<]*) - </span>)?([^<]*)</span>'
 # next-page link + blocked-page IP line — shared with the pagination
-# engine (plans/serp_loop.py imports these; google_scraper.js:631-636)
-_P_NEXT = '<a id="pnnext" href="([^"]*)">'
+# engine (plans/serp_loop.py imports these; google_scraper.js:631-636).
+# The #pnnext anchor's attributes permute, so the tag is matched by id
+# and href read from the matched tag (two-stage).
+_P_NEXT_TAG = '<a[^>]*id="pnnext"[^>]*>'
 _P_IP = "IP address: (.*?)Time:"
+# sitelink anchor element, attribute-order-insensitive (class="fl"
+# anywhere in the tag); titles/links are read from the matched element
+_P_SL_EL = '<a[^>]*class="fl"[^>]*>[^<]*</a>'
 
 
 @register(
@@ -162,10 +219,10 @@ _P_IP = "IP address: (.*?)Time:"
            nullif(regexp_extract(blk, '<cite>([^<]*)</cite>', 1), '') AS displayed_link,
            nullif(regexp_extract(blk, '{_P_G_ST}', 1), '') AS result_date,
            trim(regexp_extract(blk, '{_P_G_ST}', 2)) AS snippet,
-           nullif(array_to_string(regexp_extract_all(blk,
-               '<a class="fl" href="[^"]*">([^<]*)</a>', 1), '|'), '') AS sitelinks_titles,
-           nullif(array_to_string(regexp_extract_all(blk,
-               '<a class="fl" href="([^"]*)">', 1), '|'), '') AS sitelinks_links
+           nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
+               a -> regexp_extract(a, '>([^<]*)<', 1)), '|'), '') AS sitelinks_titles,
+           nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
+               a -> regexp_extract(a, 'href="([^"]*)"', 1)), '|'), '') AS sitelinks_links
     FROM b
     WHERE regexp_extract(blk, '<h3>([^<]*)</h3>', 1) <> ''
       AND trim(regexp_extract(blk, '{_P_G_ST}', 2)) <> ''
@@ -191,8 +248,9 @@ def proj_google_organic(spark, sf):
         snippet.alias("snippet"),
         F.nullif(
             F.array_join(
-                F.regexp_extract_all(
-                    F.col("blk"), F.lit('<a class="fl" href="[^"]*">([^<]*)</a>'), 1
+                F.transform(
+                    F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
+                    lambda a: F.regexp_extract(a, ">([^<]*)<", 1),
                 ),
                 "|",
             ),
@@ -200,8 +258,9 @@ def proj_google_organic(spark, sf):
         ).alias("sitelinks_titles"),
         F.nullif(
             F.array_join(
-                F.regexp_extract_all(
-                    F.col("blk"), F.lit('<a class="fl" href="([^"]*)">'), 1
+                F.transform(
+                    F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
+                    lambda a: F.regexp_extract(a, 'href="([^"]*)"', 1),
                 ),
                 "|",
             ),
@@ -220,7 +279,7 @@ _P_LI = "<li>.*?</li>"
 
 @register(
     "proj_google_ads",
-    f"""WITH p AS (SELECT url, body FROM read_parquet('{_SP}') WHERE engine = 'google'),
+    f"""WITH p AS (SELECT url, body FROM {_OP} WHERE engine = 'google'),
     sec AS (
       SELECT url, 0 AS block_rank, 'top' AS block_position,
              regexp_extract(body, '{_P_G_ADS_TOP}', 1) AS s FROM p
@@ -234,15 +293,16 @@ _P_LI = "<li>.*?</li>"
            row_number() OVER (PARTITION BY url ORDER BY block_rank, pos1) AS position,
            block_position,
            nullif(regexp_extract(blk, 'data-rw="([^"]*)"', 1), '') AS tracking_link,
-           nullif(regexp_extract(blk, 'data-rw="[^"]*" href="([^"]*)"', 1), '') AS link,
+           {_otag_attr("blk", "<a[^>]*data-rw=[^>]*>", "href")} AS link,
            coalesce(nullif(regexp_extract(blk, '<div role="heading">([^<]*)</div>', 1), ''),
                     '{_q(ERR_AD_TITLE)}') AS title,
            coalesce(nullif(regexp_extract(blk, '<span>Ad</span><span>([^<]*)</span>', 1), ''),
                     '{_q(ERR_AD_DISPLAYED)}') AS displayed_link,
            coalesce(nullif(regexp_extract(blk, '<div class="desc">([^<]*)</div>', 1), ''),
                     '{_q(ERR_AD_DESC)}') AS description,
-           coalesce(array_to_string(regexp_extract_all(blk,
-               '<a data-arwt="[^"]*" href="[^"]*">([^<]*)</a>', 1), '|'), '') AS sitelinks_titles
+           coalesce(array_to_string(list_transform(regexp_extract_all(blk,
+               '<a[^>]*data-arwt=[^>]*>[^<]*</a>'),
+               a -> regexp_extract(a, '>([^<]*)<', 1)), '|'), '') AS sitelinks_titles
     FROM b""",
 )
 def proj_google_ads(spark, sf):
@@ -290,7 +350,7 @@ def proj_google_ads(spark, sf):
         F.row_number().over(w).alias("position"),
         "block_position",
         _x(F.col("blk"), 'data-rw="([^"]*)"').alias("tracking_link"),
-        _x(F.col("blk"), 'data-rw="[^"]*" href="([^"]*)"').alias("link"),
+        _tag_attr(F.col("blk"), "<a[^>]*data-rw=[^>]*>", "href").alias("link"),
         F.coalesce(
             _x(F.col("blk"), '<div role="heading">([^<]*)</div>'), F.lit(ERR_AD_TITLE)
         ).alias("title"),
@@ -302,8 +362,11 @@ def proj_google_ads(spark, sf):
             _x(F.col("blk"), '<div class="desc">([^<]*)</div>'), F.lit(ERR_AD_DESC)
         ).alias("description"),
         F.array_join(
-            F.regexp_extract_all(
-                F.col("blk"), F.lit('<a data-arwt="[^"]*" href="[^"]*">([^<]*)</a>'), 1
+            F.transform(
+                F.regexp_extract_all(
+                    F.col("blk"), F.lit("<a[^>]*data-arwt=[^>]*>[^<]*</a>"), 0
+                ),
+                lambda a: F.regexp_extract(a, ">([^<]*)<", 1),
             ),
             "|",
         ).alias("sitelinks_titles"),
@@ -319,7 +382,7 @@ _P_G_MAP = '<div class="H93uF"><a href="([^"]*)"><img src="([^"]*)">'
       SELECT url,
              nullif(regexp_extract(body, '{_P_G_MAP}', 1), '') AS link,
              regexp_extract(body, '{_P_G_MAP}', 2) AS imgsrc
-      FROM read_parquet('{_SP}') WHERE engine = 'google'),
+      FROM {_OP} WHERE engine = 'google'),
     g AS (SELECT url, link, substr(imgsrc, 1, 50) AS image,
                  string_split(regexp_extract(link, 'rllag=([^&"]*)', 1), ',') AS gps
           FROM m WHERE link IS NOT NULL)
@@ -363,8 +426,8 @@ def proj_google_local_map(spark, sf):
     )
 
 
-_P_G_PLACE = '<a class="rllt__link" .*?</a>'
-_P_G_SVC = '<div class="RGCvMc"><img class="rISBZc" src="[^"]*">[^<]*</div>'
+_P_G_PLACE = '<a [^>]*class="rllt__link"[^>]*>.*?</a>'
+_P_G_SVC = '<div class="RGCvMc"><img[^>]*class="rISBZc"[^>]*>[^<]*</div>'
 
 
 @register(
@@ -503,7 +566,7 @@ _P_G_REL_A = '<a href="([^"]*)">([^<]*)</a>'
 @register(
     "proj_google_related",
     f"""WITH p AS (SELECT url, regexp_extract(body, '{_P_G_BRS}', 1) AS brs
-                   FROM read_parquet('{_SP}') WHERE engine = 'google'),
+                   FROM {_OP} WHERE engine = 'google'),
     b AS (SELECT url, unnest(regexp_extract_all(brs, '{_P_G_REL_A}')) AS a
           FROM p WHERE brs <> '')
     SELECT url,
@@ -528,7 +591,7 @@ def proj_google_related(spark, sf):
     )
 
 
-_P_INPUT_Q = '<input name="q" value="([^"]*)">'
+_P_INPUT_TAG = '<input[^>]*name="q"[^>]*>'
 _P_G_STATS = '<div id="result-stats">([^<]*)</div>'
 _P_FPRSL = '<span id="fprsl">([^<]*)</span>'
 # JS: num_res_text.match(/[\d,\.\s]{2,20}/g) — match[0] total, match[1] time
@@ -539,11 +602,11 @@ _P_G_NUMS = "[0-9,.\\s]{2,20}"
     "proj_google_search_info",
     f"""WITH p AS (
       SELECT url,
-             nullif(regexp_extract(body, '{_P_INPUT_Q}', 1), '') AS input_q,
+             {_otag_attr("body", _P_INPUT_TAG, "value")} AS input_q,
              nullif(regexp_extract(body, '{_P_FPRSL}', 1), '') AS effective_query,
              regexp_extract_all(regexp_extract(body, '{_P_G_STATS}', 1),
                                 '{_P_G_NUMS}') AS nums
-      FROM read_parquet('{_SP}') WHERE engine = 'google')
+      FROM {_OP} WHERE engine = 'google')
     SELECT url,
            coalesce(effective_query, input_q) AS query_displayed,
            CASE WHEN effective_query IS NOT NULL
@@ -562,7 +625,7 @@ def proj_google_search_info(spark, sf):
     google does not parseInt, unlike bing)."""
     p = _serp(spark, "google").select(
         "url",
-        _x(F.col("body"), _P_INPUT_Q).alias("input_q"),
+        _tag_attr(F.col("body"), _P_INPUT_TAG, "value").alias("input_q"),
         _x(F.col("body"), _P_FPRSL).alias("effective_query"),
         F.regexp_extract_all(
             F.regexp_extract("body", _P_G_STATS, 1), F.lit(_P_G_NUMS), 0
@@ -603,10 +666,10 @@ _P_B_LINK = '<h2><a href="([^"]*)">'
             nullif(trim(regexp_extract(blk, '<div class="b_caption"><p>([^<]*)</p></div>', 1)), '') AS snippet,
             nullif(array_to_string(regexp_extract_all(blk,
                 '<span class="fre">([^<]*)</span>', 1), '|'), '') AS rich_extensions,
-            nullif(array_to_string(regexp_extract_all(blk,
-                '<a class="fl" href="[^"]*">([^<]*)</a>', 1), '|'), '') AS sitelinks_titles,
-            nullif(array_to_string(regexp_extract_all(blk,
-                '<a class="fl" href="([^"]*)">', 1), '|'), '') AS sitelinks_links
+            nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
+                a -> regexp_extract(a, '>([^<]*)<', 1)), '|'), '') AS sitelinks_titles,
+            nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
+                a -> regexp_extract(a, 'href="([^"]*)"', 1)), '|'), '') AS sitelinks_links
           FROM b)
     SELECT url,
            row_number() OVER (PARTITION BY url ORDER BY pos1) AS position,
@@ -644,8 +707,9 @@ def proj_bing_organic(spark, sf):
         ).alias("rich_extensions"),
         F.nullif(
             F.array_join(
-                F.regexp_extract_all(
-                    F.col("blk"), F.lit('<a class="fl" href="[^"]*">([^<]*)</a>'), 1
+                F.transform(
+                    F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
+                    lambda a: F.regexp_extract(a, ">([^<]*)<", 1),
                 ),
                 "|",
             ),
@@ -653,8 +717,9 @@ def proj_bing_organic(spark, sf):
         ).alias("sitelinks_titles"),
         F.nullif(
             F.array_join(
-                F.regexp_extract_all(
-                    F.col("blk"), F.lit('<a class="fl" href="([^"]*)">'), 1
+                F.transform(
+                    F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
+                    lambda a: F.regexp_extract(a, 'href="([^"]*)"', 1),
                 ),
                 "|",
             ),
@@ -683,7 +748,7 @@ _P_B_RATING = "[0-9][,.][0-9]"
 
 @register(
     "proj_bing_ads",
-    f"""WITH p AS (SELECT url, body FROM read_parquet('{_SP}') WHERE engine = 'bing'),
+    f"""WITH p AS (SELECT url, body FROM {_OP} WHERE engine = 'bing'),
     sec AS (
       SELECT url, 0 AS block_rank, 'top' AS block_position,
              regexp_extract(body, '{_P_B_ADS_TOP}', 1) AS s FROM p
@@ -830,7 +895,7 @@ _P_B_UNIT = '<div class="pla-unit">.*?</div>'
       SELECT url,
              nullif(regexp_extract(body, '{_P_B_SHOP_R}', 1), '') AS right_s,
              nullif(regexp_extract(body, '{_P_B_SHOP_T}', 1), '') AS top_s
-      FROM read_parquet('{_SP}') WHERE engine = 'bing'),
+      FROM {_OP} WHERE engine = 'bing'),
     sec AS (SELECT url,
                    coalesce(right_s, top_s) AS s,
                    CASE WHEN right_s IS NOT NULL THEN 'right' ELSE 'top' END AS block_position
@@ -846,7 +911,7 @@ _P_B_UNIT = '<div class="pla-unit">.*?</div>'
                 '([0-9],[0-9])', 1) AS rmatches
           FROM b)
     SELECT url, pos1 AS position, block_position,
-           nullif(regexp_extract(blk, '<a class="plantl pla-unit-title-link" href="([^"]*)"', 1), '') AS source_link,
+           {_otag_attr("blk", '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href")} AS source_link,
            trim(coalesce(
              nullif(regexp_extract(blk, '<span class="LbUacb"><span class="rhsl5s">([^<]*)</span></span>', 1), ''),
              nullif(regexp_extract(blk, '<span class="LbUacb">([^<]*)</span>', 1), ''))) AS source,
@@ -863,7 +928,7 @@ _P_B_UNIT = '<div class="pla-unit">.*?</div>'
                '<span class="pla-extensions-container">([^<]*)</span>', 1), t -> trim(t)),
              t -> t <> ''))), '|'), '') AS extensions,
            nullif(regexp_extract(blk, '<div class="pla-unit"><a href="([^"]*)">', 1), '') AS link,
-           nullif(regexp_extract(blk, '<a class="plantl pla-unit-title-link" href="([^"]*)"', 1), '') AS vendor_link,
+           {_otag_attr("blk", '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href")} AS vendor_link,
            nullif(regexp_extract(blk, '<span class="Gor6zc"><img src="([^"]*)">', 1), '') AS thumbnail
     FROM f WHERE price IS NOT NULL""",
 )
@@ -927,7 +992,7 @@ def proj_bing_shopping(spark, sf):
         "url",
         (F.col("pos0") + 1).alias("position"),
         "block_position",
-        _x(F.col("blk"), '<a class="plantl pla-unit-title-link" href="([^"]*)"').alias(
+        _tag_attr(F.col("blk"), '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href").alias(
             "source_link"
         ),
         F.trim(
@@ -974,7 +1039,7 @@ def proj_bing_shopping(spark, sf):
         .alias("extracted_price"),
         F.nullif(F.array_join(ext, "|"), F.lit("")).alias("extensions"),
         _x(F.col("blk"), '<div class="pla-unit"><a href="([^"]*)">').alias("link"),
-        _x(F.col("blk"), '<a class="plantl pla-unit-title-link" href="([^"]*)"').alias(
+        _tag_attr(F.col("blk"), '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href").alias(
             "vendor_link"
         ),
         _x(F.col("blk"), '<span class="Gor6zc"><img src="([^"]*)">').alias("thumbnail"),
@@ -986,8 +1051,9 @@ _P_B_ITEM_B = '<div class="b_scard">.*?</div>'
 _P_B_RATING_B = "[0-9][,.]*[0-9]*"
 _P_B_TAG1 = '<span class="tags"><span class="tag">([^<]*)</span>'
 _P_B_TAG2 = '<span class="tags"><span class="tag">[^<]*</span><span class="tag">([^<]*)</span>'
-_O_ARIA = ("regexp_extract(regexp_extract(blk, "
-           "'<span class=\"csrc sc_rc1\" aria-label=\"([^\"]*)\"', 1), '{pat}')")
+_O_ARIA = ("regexp_extract(regexp_extract(regexp_extract(blk, "
+           "'<span[^>]*class=\"csrc sc_rc1\"[^>]*>'), "
+           "'aria-label=\"([^\"]*)\"', 1), '{pat}')")
 _O_RAT_A = _ojspf(_O_ARIA.format(pat=_P_B_RATING))
 _O_RAT_B = _ojspf(_O_ARIA.format(pat=_P_B_RATING_B))
 
@@ -995,7 +1061,7 @@ _O_RAT_B = _ojspf(_O_ARIA.format(pat=_P_B_RATING_B))
 
 @register(
     "proj_bing_places",
-    f"""WITH pages AS (SELECT url, body FROM read_parquet('{_SP}') WHERE engine = 'bing'),
+    f"""WITH pages AS (SELECT url, body FROM {_OP} WHERE engine = 'bing'),
     a AS (SELECT url, 'A' AS layout,
                  unnest(regexp_extract_all(body, '{_P_B_ITEM_A}')) AS blk,
                  generate_subscripts(regexp_extract_all(body, '{_P_B_ITEM_A}'), 1) AS pos1
@@ -1025,8 +1091,8 @@ _O_RAT_B = _ojspf(_O_ARIA.format(pat=_P_B_RATING_B))
              nullif(trim(regexp_extract(blk, '<span class="ft_otl ft_wm">([^<]*)</span>', 1)), '') AS mention,
              nullif(trim(regexp_extract(blk, '<cite class="opHours">([^<]*)</cite>', 1)), '') AS hours,
              {_O_RAT_B} AS rating,
-             TRY_CAST(nullif(regexp_extract(regexp_extract(blk,
-               '<cite class="csrc" aria-label="([^"]*)"', 1), '\\(([0-9]+)\\)', 1), '') AS BIGINT) AS reviews,
+             TRY_CAST(nullif(regexp_extract(regexp_extract(regexp_extract(blk,
+               '<cite[^>]*class="csrc"[^>]*>'), 'aria-label="([^"]*)"', 1), '\\(([0-9]+)\\)', 1), '') AS BIGINT) AS reviews,
              CAST(NULL AS VARCHAR[]) AS parts3,
              string_split(regexp_extract(blk, '<span class="b_factrow fr3">([^<]*)</span>', 1), ' · ') AS parts2
            FROM bb)
@@ -1073,7 +1139,9 @@ def proj_bing_places(spark, sf):
 
     a = layer(_P_B_ITEM_A, "A")
     aria_a = F.regexp_extract(
-        "blk", '<span class="csrc sc_rc1" aria-label="([^"]*)"', 1
+        F.regexp_extract("blk", '<span[^>]*class="csrc sc_rc1"[^>]*>', 0),
+        'aria-label="([^"]*)"',
+        1,
     )
     parts3 = F.split(F.regexp_extract("blk", _P_B_TAG2, 1), " · ")
     fa = a.select(
@@ -1114,7 +1182,9 @@ def proj_bing_places(spark, sf):
 
     bb = layer(_P_B_ITEM_B, "B")
     aria_b = F.regexp_extract(
-        "blk", '<span class="csrc sc_rc1" aria-label="([^"]*)"', 1
+        F.regexp_extract("blk", '<span[^>]*class="csrc sc_rc1"[^>]*>', 0),
+        'aria-label="([^"]*)"',
+        1,
     )
     parts2 = F.split(
         F.regexp_extract("blk", '<span class="b_factrow fr3">([^<]*)</span>', 1), " · "
@@ -1148,7 +1218,11 @@ def proj_bing_places(spark, sf):
         _js_parsefloat(F.regexp_extract(aria_b, _P_B_RATING_B, 0)).alias("rating"),
         F.nullif(
             F.regexp_extract(
-                F.regexp_extract("blk", '<cite class="csrc" aria-label="([^"]*)"', 1),
+                F.regexp_extract(
+                    F.regexp_extract("blk", '<cite[^>]*class="csrc"[^>]*>', 0),
+                    'aria-label="([^"]*)"',
+                    1,
+                ),
                 r"\(([0-9]+)\)",
                 1,
             ),
@@ -1167,7 +1241,7 @@ def proj_bing_places(spark, sf):
 
 @register(
     "proj_bing_questions",
-    f"""WITH p AS (SELECT url, body FROM read_parquet('{_SP}') WHERE engine = 'bing')
+    f"""WITH p AS (SELECT url, body FROM {_OP} WHERE engine = 'bing')
     SELECT url, trim(unnest(regexp_extract_all(body,
         '<div class="df_topAlAs">([^<]*)</div>', 1))) AS question
     FROM p""",
@@ -1196,13 +1270,13 @@ _P_B_PAG_A = '<li><a href="([^"]*)">([^<]*)</a></li>'
 @register(
     "proj_bing_pagination",
     f"""WITH p AS (SELECT url, regexp_extract(body, '{_P_B_PAG}', 1) AS pag
-                   FROM read_parquet('{_SP}') WHERE engine = 'bing'),
+                   FROM {_OP} WHERE engine = 'bing'),
     b AS (SELECT url, pag, unnest(regexp_extract_all(pag, '{_P_B_PAG_A}')) AS a
           FROM p WHERE pag <> '')
     SELECT url,
            trim(regexp_extract(a, '{_P_B_PAG_A}', 2)) AS page_text,
            regexp_extract(a, '{_P_B_PAG_A}', 1) AS href,
-           nullif(regexp_extract(pag, '<a class="sb_pagN sb_pagN_bp" href="([^"]*)"', 1), '') AS next,
+           {_otag_attr("pag", '<a[^>]*class="sb_pagN sb_pagN_bp"[^>]*>', "href")} AS next,
            TRY_CAST(nullif(regexp_extract(pag,
              '<a class="sb_pagS sb_pagS_bp b_widePag sb_bp">([^<]*)</a>', 1), '') AS BIGINT) AS current
     FROM b
@@ -1226,7 +1300,7 @@ def proj_bing_pagination(spark, sf):
         "url",
         F.trim(F.regexp_extract("a", _P_B_PAG_A, 2)).alias("page_text"),
         F.regexp_extract("a", _P_B_PAG_A, 1).alias("href"),
-        _x(F.col("pag"), '<a class="sb_pagN sb_pagN_bp" href="([^"]*)"').alias("next"),
+        _tag_attr(F.col("pag"), '<a[^>]*class="sb_pagN sb_pagN_bp"[^>]*>', "href").alias("next"),
         _x(
             F.col("pag"), '<a class="sb_pagS sb_pagS_bp b_widePag sb_bp">([^<]*)</a>'
         )
@@ -1297,11 +1371,11 @@ _P_B_NUMS = "[0-9,.\\s’]{2,20}"
     "proj_bing_search_info",
     f"""WITH p AS (
       SELECT url,
-             nullif(regexp_extract(body, '{_P_INPUT_Q}', 1), '') AS query_displayed,
+             {_otag_attr("body", _P_INPUT_TAG, "value")} AS query_displayed,
              nullif(trim(regexp_extract(body, '{_P_FPRSL}', 1)), '') AS fix,
              regexp_extract_all(regexp_extract(body, '{_P_B_COUNT}', 1),
                                 '{_P_B_NUMS}') AS nums
-      FROM read_parquet('{_SP}') WHERE engine = 'bing')
+      FROM {_OP} WHERE engine = 'bing')
     SELECT url, query_displayed,
            CASE WHEN fix IS NOT NULL
                 THEN 'Some results for exact spelling but showing fixed spelling'
@@ -1321,7 +1395,7 @@ def proj_bing_search_info(spark, sf):
     unlike google's string."""
     p = _serp(spark, "bing").select(
         "url",
-        _x(F.col("body"), _P_INPUT_Q).alias("query_displayed"),
+        _tag_attr(F.col("body"), _P_INPUT_TAG, "value").alias("query_displayed"),
         F.nullif(F.trim(F.regexp_extract("body", _P_FPRSL, 1)), F.lit("")).alias("fix"),
         F.regexp_extract_all(
             F.regexp_extract("body", _P_B_COUNT, 1), F.lit(_P_B_NUMS), 0
@@ -1349,7 +1423,7 @@ def proj_bing_search_info(spark, sf):
 # ================================================== amazon / nytimes
 
 
-_P_AMZ_ITEM = '<div class="s-result-item" [^>]*>.*?</div>'
+_P_AMZ_ITEM = '<div[^>]*class="s-result-item"[^>]*>.*?</div>'
 
 
 @register(
@@ -1359,7 +1433,7 @@ _P_AMZ_ITEM = '<div class="s-result-item" [^>]*>.*?</div>'
             nullif(regexp_extract(blk, 'data-asin="([^"]*)"', 1), '') AS asin,
             nullif(regexp_extract(blk, '<h2><a href="([^"]*)"><cite>', 1), '') AS product_url,
             nullif(regexp_extract(blk, '<cite>([^<]*)</cite>', 1), '') AS title,
-            nullif(trim(regexp_extract(blk, '<span class="a-price"><b>([^<]*)</b></span>', 1)), '') AS price
+            nullif(trim(regexp_extract(blk, '<span class="a-price"><span class="a-offscreen">([^<]*)</span></span>', 1)), '') AS price
           FROM b)
     SELECT url, asin, product_url, title,
            nullif(array_to_string(list_filter(list_transform(regexp_extract_all(blk,
@@ -1405,7 +1479,7 @@ def proj_amazon_products(spark, sf):
         ).alias("stock"),
         F.nullif(
             F.trim(
-                F.regexp_extract("blk", '<span class="a-price"><b>([^<]*)</b></span>', 1)
+                F.regexp_extract("blk", '<span class="a-price"><span class="a-offscreen">([^<]*)</span></span>', 1)
             ),
             F.lit(""),
         ).alias("price"),
@@ -1460,7 +1534,7 @@ _P_RG_A1 = "<a([^>]*)>"
 # trailing second anchor: the reference's a:nth-child(2)
 _P_RG_A2 = '</a><a href="([^"]*)">([^<]*)</a></div>'
 # `a img` (img inside an anchor) src for the dataimage fallback
-_P_RG_AIMG = '<a[^>]*><span>[^<]*</span><img src="([^"]*)">'
+_P_RG_AIMG = '<a[^>]*><span>[^<]*</span>(<img[^>]*>)'
 
 
 @register(
@@ -1474,7 +1548,8 @@ _P_RG_AIMG = '<a[^>]*><span>[^<]*</span><img src="([^"]*)">'
             nullif(regexp_extract(blk, '{_P_RG_A2}', 1), '') AS a2_href,
             regexp_extract(blk, '{_P_RG_A2}', 2) AS a2_text,
             contains(blk, '</a><a href=') AS has_a2,
-            nullif(regexp_extract(blk, '{_P_RG_AIMG}', 1), '') AS aimg_src
+            nullif(regexp_extract(regexp_extract(blk, '{_P_RG_AIMG}', 1),
+                                  'src="([^"]*)"', 1), '') AS aimg_src
           FROM b),
     g AS (SELECT *,
             nullif({_odec("regexp_extract(coalesce(href, ''), 'imgurl=([^&]*)&', 1)")}, '') AS imgurl1,
@@ -1531,7 +1606,7 @@ def proj_rev_image_meta(spark, sf):
         _x(F.col("blk"), _P_RG_A2, 1).alias("a2_href"),
         F.regexp_extract("blk", _P_RG_A2, 2).alias("a2_text"),
         F.col("blk").contains('</a><a href=').alias("has_a2"),
-        _x(F.col("blk"), _P_RG_AIMG).alias("aimg_src"),
+        _x(F.regexp_extract("blk", _P_RG_AIMG, 1), 'src="([^"]*)"').alias("aimg_src"),
     )
     imgurl1 = F.nullif(
         _dec(F.regexp_extract(F.coalesce("href", F.lit("")), "imgurl=([^&]*)&", 1)),
@@ -1590,7 +1665,7 @@ _P_RB_REF = '<span class="captionContainer">[^<]*<a href="([^"]*)">'
     "proj_bing_rev_image",
     f"""{_ob("revimg_bing", _P_RB_BOX)},
     f AS (SELECT url, pos1 AS rank,
-            nullif(regexp_extract(blk, '<a class="richImgLnk" href="([^"]*)"', 1), '') AS href,
+            {_otag_attr("blk", '<a[^>]*class="richImgLnk"[^>]*>', "href")} AS href,
             nullif(regexp_extract(blk, '{_P_RB_CAP}', 1), '') AS imgtext,
             nullif(regexp_extract(blk, '{_P_RB_REF}', 1), '') AS imgrefurl
           FROM b)
@@ -1607,7 +1682,7 @@ def proj_bing_rev_image(spark, sf):
     missing .richImgLnk throws into the catch and stays a rank-only
     row (:62-69)."""
     b = _blocks(spark, "revimg_bing", _P_RB_BOX)
-    href = _x(F.col("blk"), '<a class="richImgLnk" href="([^"]*)"')
+    href = _tag_attr(F.col("blk"), '<a[^>]*class="richImgLnk"[^>]*>', "href")
     return b.select(
         "url",
         F.col("pos1").alias("rank"),
@@ -1633,7 +1708,7 @@ def _pagination_oracle_sql(num_pages: int = 3) -> str:
         "AND regexp_extract(b, '<a href=\"([^\"]*)\"><h3>', 1) <> ''"
     )
     parts = [
-        f"WITH s AS (SELECT url, body FROM read_parquet('{_SP}') WHERE engine = 'google'),",
+        f"WITH s AS (SELECT url, body FROM {_OP} WHERE engine = 'google'),",
         f"st1 AS (SELECT keyword, url FROM read_parquet('{_SP}') "
         "WHERE engine = 'google' AND page_num = 1),",
     ]
@@ -1645,7 +1720,7 @@ def _pagination_oracle_sql(num_pages: int = 3) -> str:
         # shared parse constants, quote-escaped for the SQL literal —
         # the engine (serp_loop) and this oracle can never drift apart
         org_esc = _P_G_ORG.replace('"', '\\"')
-        next_esc = _P_NEXT.replace('"', '\\"')
+        next_esc = _P_NEXT_TAG.replace('"', '\\"')
         parts.append(
             f"r{r} AS (SELECT keyword, {r} AS page_num, url, "
             "contains(body, 'id=\"recaptcha\"') AS blocked, "
@@ -1654,7 +1729,8 @@ def _pagination_oracle_sql(num_pages: int = 3) -> str:
             "CASE WHEN NOT contains(body, 'id=\"recaptcha\"') THEN CAST(len(list_filter("
             f"regexp_extract_all(body, '{org_esc}'), {adm})) AS INT) "
             "END AS n_organic, "
-            f"nullif(regexp_extract(body, '{next_esc}', 1), '') "
+            f"nullif(regexp_extract(regexp_extract(body, '{next_esc}'), "
+            "'href=\\\"([^\\\"]*)\\\"', 1), '') "
             f"AS next_href FROM p{r}),"
         )
         if r < num_pages:
@@ -1696,5 +1772,9 @@ def sink_raw_html(spark, sf):
     every parse result (`results.html = await this.page.content()`,
     google_scraper.js:70 equivalent at :98, amazon.js:75,
     nytimes.js:50) — the sink is the page body itself, straight from
-    the page store with no transformation."""
-    return _serp(spark, "amazon").select("url", "keyword", F.col("body").alias("html"))
+    the page store with no transformation (raw=True: a payload sink
+    must ship the page bytes untouched — canonicalization is a PARSER
+    pre-pass, not a storage transform)."""
+    return _serp(spark, "amazon", raw=True).select(
+        "url", "keyword", F.col("body").alias("html")
+    )

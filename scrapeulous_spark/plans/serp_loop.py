@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 # the SAME pattern objects the proj_* catalog queries parse with —
 # imported, not re-declared, so a selector change there propagates to
 # the pagination engine and its unrolled oracle mechanically
-from ..operators.catalog_serp import _P_G_ORG, _P_G_ST, _P_IP, _P_NEXT  # noqa: E402
+from ..operators.catalog_serp import (  # noqa: E402
+    _P_G_ORG,
+    _P_G_ST,
+    _P_IP,
+    _P_NEXT_TAG,
+    _canon,
+)
+from ..sources.serp_corpus import canon_py  # noqa: E402
 
 
 def _n_admitted(body):
@@ -61,7 +68,7 @@ class SerpPaginationEngine:
         return (
             self.spark.read.parquet(self.serp_path)
             .where(F.col("engine") == "google")
-            .select("url", "keyword", "page_num", "body")
+            .select("url", "keyword", "page_num", _canon(F.col("body")).alias("body"))
         )
 
     def seeds(self) -> DataFrame:
@@ -87,9 +94,12 @@ class SerpPaginationEngine:
                 F.when(
                     ~F.col("body").contains('id="recaptcha"'), _n_admitted(F.col("body"))
                 ).alias("n_organic"),
-                F.nullif(F.regexp_extract("body", _P_NEXT, 1), F.lit("")).alias(
-                    "next_href"
-                ),
+                F.nullif(
+                    F.regexp_extract(
+                        F.regexp_extract("body", _P_NEXT_TAG, 0), 'href="([^"]*)"', 1
+                    ),
+                    F.lit(""),
+                ).alias("next_href"),
             ).localCheckpoint(eager=True)
             out.append(
                 parsed.select(
@@ -125,7 +135,9 @@ def run_serp_oracle(rows: list[dict], num_pages: int = 3) -> list[tuple]:
     """Pure-Python replay of google_scraper.js:43-94 over the same
     corpus rows [{url, engine, keyword, page_num, body}]. Returns
     sorted (keyword, page_num, url, status, blocked_ip, n_organic)."""
-    body_by_url = {r["url"]: r["body"] for r in rows if r["engine"] == "google"}
+    body_by_url = {
+        r["url"]: canon_py(r["body"]) for r in rows if r["engine"] == "google"
+    }
     seeds = sorted(
         (r["keyword"], r["url"])
         for r in rows
@@ -154,7 +166,8 @@ def run_serp_oracle(rows: list[dict], num_pages: int = 3) -> list[tuple]:
                 if title and snippet and link:
                     n += 1
             out.append((kw, page_num, cur, "ok", None, n))
-            nm = re.search(_P_NEXT, body)
-            if nm and nm.group(1):
-                cur = nm.group(1)  # else: no-op click, re-parse (js:631-636)
+            nm = re.search(_P_NEXT_TAG, body)
+            nh = re.search('href="([^"]*)"', nm.group(0)) if nm else None
+            if nh and nh.group(1):
+                cur = nh.group(1)  # else: no-op click, re-parse (js:631-636)
     return sorted(out)

@@ -32,6 +32,7 @@ the input on both sides.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -65,15 +66,127 @@ def url_encode_fixed(s: str) -> str:
     return s
 
 
+# -------------------------------------------------- markup variance (v2)
+#
+# Round-2 verdict #3: the v1 corpus was flat, single-line and
+# fixed-attribute-order, so the regexp parsers matched it by
+# construction. v2 stresses the three real-DOM variance classes the
+# reference's querySelector-based extractors are naturally immune to
+# (google_scraper.js:123 parses arbitrary browser DOM):
+#
+#   W — whitespace-only text nodes (spaces/tabs/NEWLINES) injected
+#       between adjacent tags at '><' junctions;
+#   A — attribute order permuted on every multi-attribute tag
+#       (serializers don't guarantee order);
+#   N — benign inline formatting tags (<em>/<b>/<strong>) nested
+#       inside text the reference reads via innerText, which flattens
+#       them.
+#
+# The parsers handle W and N with ONE canonicalization pre-pass
+# (collapse '>\s+<' junctions, strip inline formatting tags — the
+# regex twin of innerText flattening) applied identically on the
+# Spark, DuckDB and serial-oracle sides, and A with order-insensitive
+# two-stage tag extraction (match the tag by its distinguishing
+# class/attribute anywhere, then pull the wanted attribute out of the
+# matched tag text).
+
+# "" entries leave the junction untouched so both varied and unvaried
+# junctions appear on every page
+_WS_CYCLE = ["", " ", "\n", "", "  ", "\n  ", "", "\t", "\n\t", ""]
+
+# markup version active during generation: 1 = unvaried baseline (the
+# variance helpers no-op), 2 = full W/A/N variance. Set by gen_serps
+# from SerpParams.markup_version; tests generate BOTH and assert every
+# extractor returns identical results on each (variance invisibility).
+_ACTIVE = {"v": 2}
+
+
+def vary_junctions(html: str, j0: int) -> str:
+    """Deterministically inject whitespace-only text nodes between
+    adjacent tags (every '><' junction), cycling through the variant
+    table from offset j0."""
+    if _ACTIVE["v"] < 2:
+        return html
+    parts = html.split("><")
+    out = [parts[0]]
+    for k, part in enumerate(parts[1:]):
+        out.append(">" + _WS_CYCLE[(j0 + k) % len(_WS_CYCLE)] + "<")
+        out.append(part)
+    return "".join(out)
+
+
+def rot_attrs(j: int, *attrs: str) -> str:
+    """Attribute list rotated by j (empty entries dropped) — the
+    attribute-order permutation a DOM serializer is allowed to make."""
+    a = [x for x in attrs if x]
+    if not a:
+        return ""
+    r = j % len(a) if _ACTIVE["v"] >= 2 else 0
+    return " ".join(a[r:] + a[:r])
+
+
+def inline_wrap(text: str, j: int) -> str:
+    """Nest a benign inline formatting tag inside a text node the
+    reference reads via innerText (which flattens nesting): wrap one
+    word in <em>/<strong>, or the whole text in <b>, or leave as-is —
+    chosen deterministically by j. Whitespace is never altered, so
+    canonicalization recovers the exact original text."""
+    if _ACTIVE["v"] < 2 or not text.strip():
+        return text
+    m = j % 4
+    if m == 3:
+        return text
+    words = text.split(" ")
+    if m == 1 or len(words) < 2:
+        return f"<b>{text}</b>"
+    tag = "em" if m == 0 else "strong"
+    k = (j // 4) % len(words)
+    if words[k] == "":
+        return text
+    words[k] = f"<{tag}>{words[k]}</{tag}>"
+    return " ".join(words)
+
+
+# the canonicalization pre-pass, shared verbatim by all three engines:
+# 1. collapse whitespace-only text nodes between tags (W), restoring
+#    single-line bodies so '.'-based block patterns stay valid;
+# 2. unwrap bare matched inline-formatting pairs (N) — the regex twin
+#    of innerText flattening. ONLY attributeless <em>/<strong>/<b>
+#    pairs unwrap (the exact shape inline_wrap injects); tags carrying
+#    attributes (amazon's '<em aria-label=...>', '<i class="a-icon-
+#    prime">') are structural markup and must survive.
+# Order matters: junction collapse first, so whitespace injected
+# around an inline tag disappears before the tag itself does.
+# (RE2 has no backreferences, so the three pairs are spelled out.)
+INLINE_PAIR_RES = [
+    (r"<em>([^<]*)</em>", 1),
+    (r"<strong>([^<]*)</strong>", 1),
+    (r"<b>([^<]*)</b>", 1),
+]
+JUNCTION_WS_RE = r">\s+<"
+
+
+def canon_py(html: str) -> str:
+    """Python twin of the canonicalization (serial oracle + tests)."""
+    html = re.sub(JUNCTION_WS_RE, "><", html)
+    for pat, _g in INLINE_PAIR_RES:
+        html = re.sub(pat, r"\1", html)
+    return html
+
+
 @dataclass(frozen=True)
 class SerpParams:
     n_kw: int = 4          # keywords per google/bing family
     pages_per_kw: int = 3  # SERP pages (page_num) per keyword
     n_single: int = 4      # pages per single-page family (amazon/nyt/revimg)
+    markup_version: int = 2  # v2: W/A/N markup variance (see above)
 
     @property
     def tag(self) -> str:
-        return f"serp_k{self.n_kw}_p{self.pages_per_kw}_s{self.n_single}"
+        return (
+            f"serp_k{self.n_kw}_p{self.pages_per_kw}_s{self.n_single}"
+            f"_v{self.markup_version}"
+        )
 
 
 SMOKE = SerpParams()
@@ -90,9 +203,10 @@ def _google_organic(i: int, gi: int) -> str:
     snippet = f"Snippet {_w(i + gi)} number {i} with details."
     if m == 3:
         title = ""  # admission: title falsy -> dropped (js:204)
+    title_html = inline_wrap(title, gi * 7 + i)  # N variance: innerText nesting
     anchor = (
-        f'<a href="{link}"><h3>{title}</h3></a>' if m != 4
-        else f"<a><h3>{title}</h3></a>"  # no href -> link null
+        f'<a href="{link}"><h3>{title_html}</h3></a>' if m != 4
+        else f"<a><h3>{title_html}</h3></a>"  # no href -> link null
     )
     if m == 1:
         st = ""  # no span.st -> snippet null -> dropped
@@ -100,13 +214,16 @@ def _google_organic(i: int, gi: int) -> str:
         st = '<span class="st">   </span>'  # whitespace -> trim -> dropped
     elif m == 5:
         # date node inside snippet (js:152-158): date captured, text removed
-        st = f'<span class="st"><span class="f">Jun {1 + i % 28}, 2020 - </span>{snippet}</span>'
+        st = f'<span class="st"><span class="f">Jun {1 + i % 28}, 2020 - </span>{inline_wrap(snippet, gi + 3 * i)}</span>'
     else:
-        st = f'<span class="st">{snippet}</span>'
+        st = f'<span class="st">{inline_wrap(snippet, gi + 3 * i)}</span>'
     sitelinks = ""
     if m == 6:
         sl = "".join(
-            f'<a class="fl" href="{link}/s{k}">SL {_w(i + k)}</a>' for k in range(2)
+            "<a "
+            + rot_attrs(i + k, 'class="fl"', f'href="{link}/s{k}"')
+            + f">SL {_w(i + k)}</a>"
+            for k in range(2)
         )
         sitelinks = f'<span class="osl">{sl}</span>'
     # block delimiter rule: the ONLY </div> in a .g block is its own close
@@ -123,22 +240,29 @@ def _google_ad(i: int, gi: int, block: str) -> str:
     track = f"https://track.example.net/rw?i={gi}{i}"
     disp = f"www.ad{(gi + i) % 23}.example.net"
     desc = f"Buy {_w(i)} now, offer {i}."
-    heading = f'<div role="heading">{title}</div>' if m != 1 else ""
+    heading = (
+        f'<div role="heading">{inline_wrap(title, gi + 5 * i)}</div>' if m != 1 else ""
+    )
     vis = f'<div class="vis"><span>Ad</span><span>{disp}</span></div>' if m != 2 else ""
     dd = f'<div class="desc">{desc}</div>' if m != 3 else ""
     sl = ""
     if m == 4:
         links = "".join(
-            f'<a data-arwt="https://t.example.net/{k}" href="{link}/s{k}">Site {_w(k + i)}</a>'
+            "<a "
+            + rot_attrs(
+                i + k, f'data-arwt="https://t.example.net/{k}"', f'href="{link}/s{k}"'
+            )
+            + f">Site {_w(k + i)}</a>"
             for k in range(2)
         )
         sl = f'<div role="list">{links}</div>'
-    return f'<li><a data-rw="{track}" href="{link}"></a>{vis}{heading}{dd}{sl}</li>'
+    ad_a = rot_attrs(gi + i, f'data-rw="{track}"', f'href="{link}"')
+    return f"<li><a {ad_a}></a>{vis}{heading}{dd}{sl}</li>"
 
 
 def _google_place(i: int, gi: int) -> str:
     m = (gi + i) % 6
-    cid = f'data-cid="{10000 + gi * 100 + i}" ' if m != 1 else ""
+    cid = f'data-cid="{10000 + gi * 100 + i}"' if m != 1 else ""
     lsig = f"&lsig=AB{gi}x{i}" if m % 2 == 0 else ""
     rating = f"4,{i % 10}" if m % 3 == 0 else f"3.{i % 10}"
     reviews = 10 + (gi * 7 + i * 13) % 990
@@ -160,16 +284,21 @@ def _google_place(i: int, gi: int) -> str:
     desc = f'<div class="rllt__wrapped">{_w(i)} spot {i}</div>' if m == 5 else ""
     svc = ""
     if m % 2 == 1:
+        svc_img_pos = rot_attrs(i, 'class="rISBZc"', f'src="{POS_SRC}"')
+        svc_img_neg = rot_attrs(i + 1, 'class="rISBZc"', f'src="{NEG_SRC}"')
         svc = (
-            f'<div class="RGCvMc"><img class="rISBZc" src="{POS_SRC}">Dine in</div>'
-            f'<div class="RGCvMc"><img class="rISBZc" src="{NEG_SRC}">No delivery</div>'
+            f'<div class="RGCvMc"><img {svc_img_pos}>Dine in</div>'
+            f'<div class="RGCvMc"><img {svc_img_neg}>No delivery</div>'
         )
         if m == 5:  # unknown blob -> no entry (js:399-401)
             svc += '<div class="RGCvMc"><img class="rISBZc" src="data:,other">Takeout</div>'
+    card_a = rot_attrs(
+        gi + 2 * i, 'class="rllt__link"', cid, f'href="/maps/place?p={i}{lsig}"'
+    )
     return (
-        f'<a class="rllt__link" {cid}href="/maps/place?p={i}{lsig}">'
+        f"<a {card_a}>"
         f'<img src="https://th.example.com/t{gi}_{i}.jpg">'
-        f'<div role="heading"><span> {_w(gi)} {_w(i)} Cafe {i} </span></div>'
+        f'<div role="heading"><span>{inline_wrap(f" {_w(gi)} {_w(i)} Cafe {i} ", gi + i)}</span></div>'
         f'<div class="rllt__details">{r1}{r2}{r3}</div>{desc}{svc}</a>'
     )
 
@@ -180,14 +309,15 @@ def google_body(kw: str, gi: int, page_num: int, next_url: str | None = None) ->
         # ['#center_col .g', '#recaptcha'] (google_scraper.js:645-656);
         # the blocked page carries the IP between the 'IP address: '
         # and 'Time:' markers (:54-59)
-        return (
+        return vary_junctions(
             '<html><body><div id="recaptcha"></div>'
             f"IP address: 66.249.{gi}.{gi % 7} Time: 2020-06-01T00:00:00Z"
-            "</body></html>"
+            "</body></html>",
+            gi,
         )
     parts = [f"<html><title>{kw} - Google Search</title><body>"]
     if gi % 5 != 2:
-        parts.append(f'<input name="q" value="{kw}">')
+        parts.append("<input " + rot_attrs(gi, 'name="q"', f'value="{kw}"') + ">")
     if gi % 4 != 3:
         n = 1000000 + gi * 54321
         parts.append(
@@ -235,9 +365,11 @@ def google_body(kw: str, gi: int, page_num: int, next_url: str | None = None) ->
         # #pnnext advances the pagination loop (google_scraper.js:91-93,
         # :631-636); pages without it silently RE-PARSE the same page
         # for the remaining page_nums (next_page() is a no-op)
-        parts.append(f'<a id="pnnext" href="{next_url}"></a>')
+        parts.append(
+            "<a " + rot_attrs(gi + 1, 'id="pnnext"', f'href="{next_url}"') + "></a>"
+        )
     parts.append("</body></html>")
-    return "".join(parts)
+    return vary_junctions("".join(parts), gi)
 
 
 # --------------------------------------------------------------- bing
@@ -249,8 +381,16 @@ def _bing_organic(i: int, gi: int) -> str:
     link = f"https://b{(gi + i) % 41}.example.org/r{i}"
     disp = f"b{(gi + i) % 41}.example.org/r{i}"
     snippet = f"Bing snippet {_w(i)} {i}."
-    h2 = f'<h2><a href="{link}">{title}</a></h2>' if m != 1 else "<h2></h2>"
-    cap = f'<div class="b_caption"><p>{snippet}</p></div>' if m != 2 else ""
+    h2 = (
+        f'<h2><a href="{link}">{inline_wrap(title, gi + 4 * i)}</a></h2>'
+        if m != 1
+        else "<h2></h2>"
+    )
+    cap = (
+        f'<div class="b_caption"><p>{inline_wrap(snippet, gi + 5 * i)}</p></div>'
+        if m != 2
+        else ""
+    )
     rich = ""
     if m == 3:
         rich = (
@@ -262,7 +402,12 @@ def _bing_organic(i: int, gi: int) -> str:
     if m == 4:
         sl = (
             '<span class="osl">'
-            + "".join(f'<a class="fl" href="{link}/s{k}">bl{k}</a>' for k in range(2))
+            + "".join(
+                "<a "
+                + rot_attrs(i + k + 1, 'class="fl"', f'href="{link}/s{k}"')
+                + f">bl{k}</a>"
+                for k in range(2)
+            )
             + "</span>"
         )
     return f'<li class="b_algo">{h2}<cite>{disp}</cite>{cap}{rich}{sl}</li>'
@@ -274,7 +419,11 @@ def _bing_ad(i: int, gi: int) -> str:
     link = f"https://bad{(gi + i) % 19}.example.net/t{i}"
     disp = f"bad{(gi + i) % 19}.example.net"
     desc = f"Bing ad body {_w(i)} {i}."
-    t = f'<div class="b_textAdTitleLink">{title}</div>' if m != 1 else ""
+    t = (
+        f'<div class="b_textAdTitleLink">{inline_wrap(title, gi + 7 * i)}</div>'
+        if m != 1
+        else ""
+    )
     d = f'<div class="b_adurl"><cite>{disp}</cite></div>' if m != 2 else ""
     c = f'<div class="b_caption"><p>{desc}</p></div>' if m != 3 else ""
     ext = f'<div class="MUxGbd lyLwlc aLF0Z"> free shipping {i} </div>' if m % 2 == 0 else ""
@@ -286,7 +435,8 @@ def _bing_ad(i: int, gi: int) -> str:
     rat = ""
     if m % 2 == 1:
         val = f"4,{1 + i % 8}" if i % 2 == 0 else f"3.{1 + i % 8}"
-        rat = f'<div class="Hk2yDb KsR1A" aria-label="Rated {val} of 5"></div>'
+        rat_attrs = rot_attrs(i, 'class="Hk2yDb KsR1A"', f'aria-label="Rated {val} of 5"')
+        rat = f"<div {rat_attrs}></div>"
     phone = f'<div class="EkiqXc MUxGbd"> 0800 77{i:02d} </div>' if m == 4 else ""
     track = f'<h2><a href="https://r.bing.example/rd?i={gi}{i}"></a></h2>' if m != 5 else ""
     sl = ""
@@ -328,26 +478,33 @@ def _bing_shopping_unit(i: int, gi: int) -> str:
     pr = f'<span class="T4OwTb">{price}</span>' if price else ""
     # a:first-child -> link; a.plantl.pla-unit-title-link -> source_link
     # AND vendor_link (both reference selectors resolve to this element)
+    plantl = rot_attrs(
+        gi + i,
+        'class="plantl pla-unit-title-link"',
+        f'href="https://v{(gi + i) % 13}.example.org/t{i}"',
+    )
     return (
         f'<div class="pla-unit"><a href="https://pla{(gi + i) % 13}.example.org/u{i}"></a>'
-        f'<a class="plantl pla-unit-title-link" href="https://v{(gi + i) % 13}.example.org/t{i}"></a>'
-        f'{source}{rat}{rev}<span class="rhsl5">Item {_w(gi + i)} {i}</span>{pr}{ext}'
+        f"<a {plantl}></a>"
+        f'{source}{rat}{rev}<span class="rhsl5">{inline_wrap(f"Item {_w(gi + i)} {i}", gi + 6 * i)}</span>{pr}{ext}'
         f'<span class="Gor6zc"><img src="https://img.example.com/p{gi}_{i}.jpg"></span></div>'
     )
 
 
 def _bing_place_a(i: int, gi: int) -> str:
     m = (gi + i) % 5
-    meta = (
-        f'<span class="ent_id" id="c-eid_{7000 + gi * 50 + i}" elat="52.5{i}" elong="13.4{i}"></span>'
-        if m != 1
-        else ""
+    meta_attrs = rot_attrs(
+        gi + i,
+        'class="ent_id"',
+        f'id="c-eid_{7000 + gi * 50 + i}"',
+        f'elat="52.5{i}"',
+        f'elong="13.4{i}"',
     )
-    rat = (
-        f'<span class="csrc sc_rc1" aria-label="{4 if i % 2 else 3},{i % 9} stars"></span>'
-        if m != 2
-        else ""
+    meta = f"<span {meta_attrs}></span>" if m != 1 else ""
+    rat_attrs = rot_attrs(
+        i, 'class="csrc sc_rc1"', f'aria-label="{4 if i % 2 else 3},{i % 9} stars"'
     )
+    rat = f"<span {rat_attrs}></span>" if m != 2 else ""
     tags1 = (
         f'<span class="tag">Reviews ({50 + i * 7})</span>' if m != 3
         else '<span class="tag">new</span>'
@@ -359,7 +516,7 @@ def _bing_place_a(i: int, gi: int) -> str:
     )
     return (
         f'<div class="item">{meta}<img src="https://bth.example.com/a{gi}_{i}.jpg">'
-        f'<span class="tit"> {_w(gi + i)} Haus {i} </span>'
+        f'<span class="tit">{inline_wrap(f" {_w(gi + i)} Haus {i} ", gi + 3 * i)}</span>'
         f'<span class="ft_otl b_primtxt">mention {_w(i)}</span>'
         f'<span class="opHours">open {9 + i % 3} am</span>'
         f'{rat}<span class="tags">{tags1}{tags2}</span></div>'
@@ -368,16 +525,15 @@ def _bing_place_a(i: int, gi: int) -> str:
 
 def _bing_place_b(i: int, gi: int) -> str:
     m = (gi + i) % 4
-    rat = (
-        f'<span class="csrc sc_rc1" aria-label="{3 + i % 2},{i % 9} rating"></span>'
-        if m != 1
-        else ""
+    rat_attrs = rot_attrs(
+        i + 1, 'class="csrc sc_rc1"', f'aria-label="{3 + i % 2},{i % 9} rating"'
+    )
+    rat = f"<span {rat_attrs}></span>" if m != 1 else ""
+    rev_attrs = rot_attrs(
+        gi + i, 'class="csrc"', f'aria-label="see ({20 + i * 3}) reviews"'
     )
     rev = (
-        f'<span class="b_factrow"><cite class="csrc" aria-label="see ({20 + i * 3}) reviews">'
-        "</cite></span>"
-        if m != 2
-        else ""
+        f'<span class="b_factrow"><cite {rev_attrs}></cite></span>' if m != 2 else ""
     )
     row = (
         f'<span class="b_factrow fr3">{200 + i} {_w(gi)} Str · 030 66{i:02d}</span>'
@@ -387,7 +543,7 @@ def _bing_place_b(i: int, gi: int) -> str:
     return (
         f'<div class="b_scard"><span class="ft_otl ft_wm">wm {_w(i)}</span>'
         f'<img src="https://bth.example.com/b{gi}_{i}.jpg">'
-        f'<span class="lc_content"><h2> {_w(i + gi)} Scard {i} </h2></span>'
+        f'<span class="lc_content"><h2>{inline_wrap(f" {_w(i + gi)} Scard {i} ", gi + i)}</h2></span>'
         f'<span class="b_factrow"><cite class="opHours">til {6 + i % 6} pm</cite></span>'
         f"{rat}{rev}{row}</div>"
     )
@@ -395,7 +551,11 @@ def _bing_place_b(i: int, gi: int) -> str:
 
 def _bing_video(i: int, gi: int) -> str:
     m = (gi + i) % 5
-    title = f'<div class="mB12kf"> {_w(gi + i)} clip {i} </div>' if m != 1 else ""
+    title = (
+        f'<div class="mB12kf">{inline_wrap(f" {_w(gi + i)} clip {i} ", gi + 2 * i)}</div>'
+        if m != 1
+        else ""
+    )
     link = f'<a href="https://vid{(gi + i) % 17}.example.org/v{i}"></a>' if m != 2 else ""
     plat = (
         f'<div class="nHGuld">YouTube - {1 + i % 12} Jun 2020</div>'
@@ -412,7 +572,7 @@ def _bing_video(i: int, gi: int) -> str:
 def bing_body(kw: str, gi: int, page_num: int) -> str:
     parts = [f"<html><title>{kw} - Bing</title><body>"]
     if gi % 5 != 2:
-        parts.append(f'<input name="q" value="{kw}">')
+        parts.append("<input " + rot_attrs(gi + 1, 'name="q"', f'value="{kw}"') + ">")
     if gi % 4 == 1:
         parts.append(f'<span id="fprsl"> {kw} fixed </span>')
     if gi % 4 != 3:
@@ -475,10 +635,12 @@ def bing_body(kw: str, gi: int, page_num: int) -> str:
             f'<li><a href="/search?q={kw.replace(" ", "+")}&first={1 + 10 * k}">{k + 1}</a></li>'
             for k in range(4)
         )
-        nxt = (
-            f'<a class="sb_pagN sb_pagN_bp" href="/search?q={kw.replace(" ", "+")}'
-            f'&first={1 + 10 * page_num}"></a>'
+        nxt_attrs = rot_attrs(
+            gi,
+            'class="sb_pagN sb_pagN_bp"',
+            f'href="/search?q={kw.replace(" ", "+")}&first={1 + 10 * page_num}"',
         )
+        nxt = f"<a {nxt_attrs}></a>"
         cur = f'<a class="sb_pagS sb_pagS_bp b_widePag sb_bp">{page_num}</a>'
         parts.append(f'<div class="b_pag"><ul class="sb_pagF">{others}</ul>{nxt}{cur}</div>')
     n_vid = (gi + 1) % 4
@@ -487,7 +649,7 @@ def bing_body(kw: str, gi: int, page_num: int) -> str:
             '<ul class="vids">' + "".join(_bing_video(i, gi) for i in range(n_vid)) + "</ul>"
         )
     parts.append("</body></html>")
-    return "".join(parts)
+    return vary_junctions("".join(parts), gi + 1)
 
 
 # ------------------------------------------------- amazon / nytimes
@@ -495,9 +657,9 @@ def bing_body(kw: str, gi: int, page_num: int) -> str:
 
 def _amazon_item(i: int, gi: int) -> str:
     m = (gi + i) % 6
-    asin = f'data-asin="B0{gi:02d}{i:04d}" ' if m != 1 else ""
+    asin = f'data-asin="B0{gi:02d}{i:04d}"' if m != 1 else ""
     linkel = (
-        f'<h2><a href="/dp/B0{gi:02d}{i:04d}"><cite>{_w(gi + i)} widget {i}</cite></a></h2>'
+        f'<h2><a href="/dp/B0{gi:02d}{i:04d}"><cite>{inline_wrap(f"{_w(gi + i)} widget {i}", gi + 3 * i)}</cite></a></h2>'
         if m != 2
         else ""
     )
@@ -506,39 +668,46 @@ def _amazon_item(i: int, gi: int) -> str:
     )
     prime = '<i class="a-icon-prime"></i>' if m % 2 == 0 else ""
     stock = f'<span class="a-color-price">Only {1 + i % 9} left</span>' if m == 3 else ""
-    price = f'<span class="a-price"><b>${9 + i},{10 + i % 90}</b></span>' if m != 4 else ""
+    price = (
+        f'<span class="a-price"><span class="a-offscreen">${9 + i},{10 + i % 90}</span></span>'
+        if m != 4
+        else ""
+    )
     stars = (
         f'<span class="a-size-small"><em aria-label="s">{4 - i % 2}.{i % 10} out of 5</em>'
         f'<em aria-label="r">{100 + i * 11:,}</em></span>'
         if m % 3 == 0
         else ""
     )
-    return f'<div class="s-result-item" {asin}>{linkel}{info}{prime}{stock}{price}{stars}</div>'
+    item_attrs = rot_attrs(gi + i, 'class="s-result-item"', asin)
+    return f"<div {item_attrs}>{linkel}{info}{prime}{stock}{price}{stars}</div>"
 
 
 def amazon_body(kw: str, gi: int) -> str:
     n = 8 + gi % 5
     items = "".join(_amazon_item(i, gi) for i in range(n))
-    return (
+    return vary_junctions(
         f"<html><title>Amazon.com: {kw}</title><body>"
-        f'<div class="s-result-list">{items}</div></body></html>'
+        f'<div class="s-result-list">{items}</div></body></html>',
+        gi + 2,
     )
 
 
 def _nyt_story(i: int, gi: int) -> str:
     m = (gi + i) % 4
-    head = f'<h2><span class="balancedHeadline">{_w(gi + i)} {_w(i)} headline {i}</span></h2>'
-    p = f"<p>Story {_w(i)} summary {i}.</p>" if m != 1 else ""
+    head = f'<h2><span class="balancedHeadline">{inline_wrap(f"{_w(gi + i)} {_w(i)} headline {i}", gi + 2 * i)}</span></h2>'
+    p = f"<p>{inline_wrap(f'Story {_w(i)} summary {i}.', gi + i)}</p>" if m != 1 else ""
     a = f'<a href="https://www.nytimes.com/2020/{1 + gi % 12:02d}/{1 + i % 28:02d}/s{i}.html"></a>' if m != 2 else ""
     return f'<div class="story">{head}{p}{a}</div>'
 
 
 def nytimes_body(gi: int) -> str:
     n = 6 + gi % 4
-    return (
+    return vary_junctions(
         '<html><title>The New York Times</title><body><div id="site-content">'
         + "".join(_nyt_story(i, gi) for i in range(n))
-        + "</div></body></html>"
+        + "</div></body></html>",
+        gi + 3,
     )
 
 
@@ -554,7 +723,12 @@ def _revimg_google_box(i: int, gi: int) -> str:
         # no imgurl param -> fallback chain (js:148-168); the img sits
         # INSIDE the first anchor so the second anchor is the block's
         # 2nd child ('a:nth-child(2)', js:158)
-        img = f'<img data-iurl="https://iurl.example.org/d{gi}_{i}.jpg" src="data:image/jpeg;base64,XX{i}">'
+        img_attrs = rot_attrs(
+            gi + i,
+            f'data-iurl="https://iurl.example.org/d{gi}_{i}.jpg"',
+            f'src="data:image/jpeg;base64,XX{i}"',
+        )
+        img = f"<img {img_attrs}>"
         a = f'<a href="/imgres?imgrefurl={refurl}&h=100"><span>{cap}</span>{img}</a>'
         second = f'<a href="https://second.example.org/ref{i}">second text {i}</a>'
         return f'<div class="rg_bx">{a}{second}</div>'
@@ -570,7 +744,12 @@ def _revimg_google_box(i: int, gi: int) -> str:
     if m == 3:
         # imgurl present but imgrefurl missing -> data-iurl overwrites
         # imgurl AND type; second anchor supplies imgrefurl + imgtext
-        img = f'<img data-iurl="https://iurl.example.org/e{gi}_{i}.jpg" src="x">'
+        img_attrs = rot_attrs(
+            gi + i + 1,
+            f'data-iurl="https://iurl.example.org/e{gi}_{i}.jpg"',
+            'src="x"',
+        )
+        img = f"<img {img_attrs}>"
         a = f'<a href="/imgres?imgurl={imgurl}&h=100"><span>{cap}</span>{img}</a>'
         second = f'<a href="https://second.example.org/alt{i}">alt text {i}</a>'
         return f'<div class="rg_bx">{a}{second}</div>'
@@ -582,10 +761,11 @@ def _revimg_google_box(i: int, gi: int) -> str:
 
 def revimg_google_body(gi: int) -> str:
     n = 8 + gi % 4
-    return (
+    return vary_junctions(
         "<html><body>"
         + "".join(_revimg_google_box(i, gi) for i in range(n))
-        + "</body></html>"
+        + "</body></html>",
+        gi + 4,
     )
 
 
@@ -595,8 +775,11 @@ def _revimg_bing_box(i: int, gi: int) -> str:
     if m == 1:
         # .richImgLnk missing -> catch -> rank-only row (js:62-69)
         return f'<div class="richImage"><span>broken {i}</span></div>'
+    lnk_attrs = rot_attrs(
+        gi + i, 'class="richImgLnk"', f'href="/images/search?mediaurl={media}"'
+    )
     return (
-        f'<div class="richImage"><a class="richImgLnk" href="/images/search?mediaurl={media}">'
+        f'<div class="richImage"><a {lnk_attrs}>'
         f'</a><span class="captionContainer">bing cap {_w(gi + i)} {i}'
         f'<a href="https://ref{i % 7}.example.org/b{i}"></a></span></div>'
     )
@@ -604,10 +787,11 @@ def _revimg_bing_box(i: int, gi: int) -> str:
 
 def revimg_bing_body(gi: int) -> str:
     n = 6 + gi % 4
-    return (
+    return vary_junctions(
         '<html><body><div id="i_results">'
         + "".join(_revimg_bing_box(i, gi) for i in range(n))
-        + "</div></body></html>"
+        + "</div></body></html>",
+        gi + 5,
     )
 
 
@@ -625,6 +809,15 @@ def serp_keywords(p: SerpParams) -> list[str]:
 def gen_serps(p: SerpParams) -> pa.Table:
     """Page indices (gi) are PER-ENGINE counters so every modular
     variant branch is reachable for every engine family."""
+    prev = _ACTIVE["v"]
+    _ACTIVE["v"] = p.markup_version
+    try:
+        return _gen_serps_inner(p)
+    finally:
+        _ACTIVE["v"] = prev
+
+
+def _gen_serps_inner(p: SerpParams) -> pa.Table:
     urls, engines, keywords, page_nums, bodies = [], [], [], [], []
 
     def add(url, engine, kw, page_num, body):

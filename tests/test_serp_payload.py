@@ -128,11 +128,92 @@ def test_shopping_admission_leaves_position_gaps(registry, spark):
 
 
 def test_serp_corpus_deterministic():
-    from scrapeulous_spark.sources.serp_corpus import SMOKE, gen_serps
+    from scrapeulous_spark.sources.serp_corpus import SMOKE, canon_py, gen_serps
 
     a = gen_serps(SMOKE)
     b = gen_serps(SMOKE)
     assert a.equals(b)
     assert a.column("body").null_count == 0
+    # v2 bodies carry newlines BETWEEN tags; canonicalization restores
+    # single-line parse input (the '.'-pattern safety invariant)
     bodies = a.column("body").to_pylist()
-    assert all("\n" not in s for s in bodies)
+    assert all("\n" not in canon_py(s) for s in bodies)
+
+
+# ------------------------------------------------- markup variance (v2)
+
+
+def _v2_bodies():
+    from scrapeulous_spark.sources.serp_corpus import SMOKE, gen_serps
+
+    return gen_serps(SMOKE).column("body").to_pylist()
+
+
+def test_variance_junction_whitespace_present():
+    """W class: the corpus actually stresses whitespace-only text
+    nodes — spaces, tabs AND newlines between adjacent tags."""
+    import re
+
+    joined = "\n".join(_v2_bodies())
+    assert re.search(r">\n+ *<", joined), "newline junctions missing"
+    assert re.search(r"> +<", joined), "space junctions missing"
+    assert re.search(r">\t<", joined), "tab junctions missing"
+
+
+def test_variance_attr_order_present():
+    """A class: multi-attribute tags appear in permuted order (href
+    before the distinguishing class, data-asin before class, ...)."""
+    import re
+
+    joined = "\n".join(_v2_bodies())
+    assert re.search(r'<a href="[^"]*" class="fl">', joined), "fl permutation"
+    assert re.search(r'<a href="[^"]*" data-rw=', joined), "data-rw permutation"
+    assert re.search(r'<input value="[^"]*" name="q">', joined), "input permutation"
+    assert re.search(r'<div data-asin="[^"]*" class="s-result-item">', joined), (
+        "amazon permutation"
+    )
+    assert re.search(r'<a href="[^"]*" id="pnnext">', joined), "pnnext permutation"
+
+
+def test_variance_inline_tags_present():
+    """N class: benign inline formatting tags nest inside innerText-read
+    text (google_scraper.js:146 reads innerText, which flattens them)."""
+    joined = "\n".join(_v2_bodies())
+    for t in ("<em>", "<strong>", "<b>"):
+        assert t in joined, f"{t} nesting missing"
+    # specifically inside an organic title
+    import re
+
+    assert re.search(r"<h3>[^<]*<(?:em|strong|b)>", joined) or re.search(
+        r"<h3><b>", joined
+    )
+
+
+def test_markup_variance_invisible_to_extractors():
+    """THE robustness gate: every proj_* extractor must return
+    IDENTICAL results on the varied (v2) corpus and the unvaried (v1)
+    baseline — a silent extraction miss under junction whitespace,
+    attribute permutation, or inline-tag nesting fails here. Runs the
+    DuckDB twin as the executable spec on both corpora (Spark/DuckDB
+    parity is covered separately by test_queries_contract)."""
+    import duckdb
+
+    from scrapeulous_spark.operators import load_all_catalogs
+    from scrapeulous_spark.operators.catalog_serp import _SP
+    from scrapeulous_spark.sources.serp_corpus import SMOKE, ensure_serp_corpus
+    from dataclasses import replace
+
+    v1 = ensure_serp_corpus(replace(SMOKE, markup_version=1))
+    assert v1 != _SP
+    reg = load_all_catalogs()
+    con = duckdb.connect()
+    names = sorted(n for n in reg if n.startswith("proj_"))
+    assert len(names) == 18
+    for name in names:
+        sql2 = reg[name].oracle
+        assert _SP in sql2, name
+        sql1 = sql2.replace(_SP, v1)
+        r2 = sorted(map(repr, con.execute(sql2).fetchall()))
+        r1 = sorted(map(repr, con.execute(sql1).fetchall()))
+        assert r2 == r1, f"{name}: variance changed extraction output"
+        assert len(r2) > 0, name
