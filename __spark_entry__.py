@@ -227,19 +227,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     engine = _engine_queries()
     hist = _correctness_history()
 
+    # QUERY_BASELINE.json snapshots the catalog as of the last round;
+    # queries added later sort BEHIND the never-verified backlog
+    # (round-2 verdict #2: growth must not starve the backlog)
+    try:
+        import json
+
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "QUERY_BASELINE.json")
+        ) as fh:
+            baseline = set(json.load(fh)["names"])
+    except (OSError, ValueError, KeyError):
+        baseline = set()
+
     all_names = list(catalog)
     all_names += [n for n in engine if n not in catalog]
 
     def tier(name: str) -> tuple:
         row = hist.get(name)
         if row is None:
-            # tier 0: never verified; proj_* jump the queue inside it
-            return (0, 0 if name.startswith("proj_") else 1, name)
+            # tier 0: never verified; proj_* jump the queue inside it,
+            # post-baseline additions go last
+            is_new = 1 if baseline and name not in baseline else 0
+            return (0, is_new, 0 if name.startswith("proj_") else 1, name)
         rnd, green = row
         if not green:
-            return (1, rnd, name)
+            return (1, 0, rnd, name)
         # tier 2: stalest green first
-        return (2, rnd, name)
+        return (2, 0, rnd, name)
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in sorted(all_names, key=tier):

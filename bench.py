@@ -81,9 +81,11 @@ HEADLINE = [
     "pipeline_curation_e2e",
     "text_char_entropy",
     "sim_topk_join",
-    # NOT dedup_ppjoin_prefix: exact-recall output is O(cluster^2)
-    # pairs over the corpus's planted dup groups (~110s at sf0.1 —
-    # the result set, not the plan, is the cost; LSH is the scale path)
+    # NOT dedup_ppjoin_prefix: even composed (identical-token-set
+    # collapse -> prefix join on representatives, round-3), exact
+    # recall emits every qualifying rep pair — ~67s at sf0.1 (was
+    # ~110s raw), dominated by the genuine 3.4M-pair result set; LSH
+    # is the scale path and the headline proxy
 ]
 
 

@@ -9,6 +9,7 @@ def load_all_catalogs():
         catalog_engine,
         catalog_gaps,
         catalog_serp,
+        catalog_stream,
         multimodal,
         pipeline,
     )

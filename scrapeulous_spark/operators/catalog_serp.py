@@ -1778,3 +1778,214 @@ def sink_raw_html(spark, sf):
     return _serp(spark, "amazon", raw=True).select(
         "url", "keyword", F.col("body").alias("html")
     )
+
+
+# ========================= SERP -> crawl lifecycle (one composed run)
+
+
+def _lifecycle_oracle_sql(num_pages: int = 3) -> str:
+    """Unrolled-CTE twin of pipeline_serp_crawl_lifecycle: the
+    3-superstep pagination unroll (collecting ADMITTED organic blocks
+    instead of counts) feeds a depth-0/depth-1 crawl unroll over the
+    crawl corpus, sharing the pagination CTE structure with
+    _pagination_oracle_sql and the resolve/normalize/same-host CASE
+    with pipeline_frontier_admission_e2e's twin."""
+    from ..sources.corpus import SMOKE as CRAWL_SMOKE, ensure_corpus
+
+    cp = ensure_corpus(CRAWL_SMOKE)["pages"]
+    adm = (
+        "b -> regexp_extract(b, '<h3>([^<]*)</h3>', 1) <> '' "
+        f"AND trim(regexp_extract(b, '{_P_G_ST}', 2)) <> '' "
+        "AND regexp_extract(b, '<a href=\"([^\"]*)\"><h3>', 1) <> ''"
+    )
+    org_esc = _P_G_ORG.replace('"', '\\"')
+    next_esc = _P_NEXT_TAG.replace('"', '\\"')
+    parts = [
+        f"WITH s AS (SELECT url, body FROM {_OP} WHERE engine = 'google'),",
+        f"st1 AS (SELECT keyword, url FROM read_parquet('{_SP}') "
+        "WHERE engine = 'google' AND page_num = 1),",
+    ]
+    for r in range(1, num_pages + 1):
+        parts.append(
+            f"p{r} AS (SELECT st{r}.keyword, s.url, s.body FROM st{r} "
+            f"JOIN s ON st{r}.url = s.url),"
+        )
+        parts.append(
+            f"r{r} AS (SELECT keyword, url, "
+            "contains(body, 'id=\"recaptcha\"') AS blocked, "
+            f"list_filter(regexp_extract_all(body, '{org_esc}'), {adm}) AS blks, "
+            f"nullif(regexp_extract(regexp_extract(body, '{next_esc}'), "
+            "'href=\\\"([^\\\"]*)\\\"', 1), '') "
+            f"AS next_href FROM p{r}),"
+        )
+        if r < num_pages:
+            parts.append(
+                f"st{r + 1} AS (SELECT keyword, coalesce(next_href, url) AS url "
+                f"FROM r{r} WHERE NOT blocked),"
+            )
+    blk_union = " UNION ALL ".join(
+        f"SELECT keyword, unnest(blks) AS blk FROM r{r} WHERE NOT blocked"
+        for r in range(1, num_pages + 1)
+    )
+    parts.append(f"lb AS ({blk_union}),")
+    parts.append(
+        "links AS (SELECT DISTINCT keyword, "
+        "regexp_extract(blk, '<a href=\"([^\"]*)\"><h3>', 1) AS link FROM lb),"
+    )
+    parts.append(
+        f"pages AS (SELECT url, status, out_links FROM read_parquet('{cp}')),"
+    )
+    parts.append(
+        "seeds AS (SELECT keyword, replace(link, '#', '') AS seed FROM links),"
+    )
+    parts.append(
+        "d0 AS (SELECT se.keyword, se.seed, 0 AS depth, se.seed AS url, "
+        "coalesce(pg.status, 'miss') AS status "
+        "FROM seeds se LEFT JOIN pages pg ON se.seed = pg.url),"
+    )
+    parts.append(
+        # unnest runs over the bare pages scan (no join in the same
+        # SELECT): DuckDB's binder hits an internal error when a
+        # predicate is pushed down into an unnest-over-join CTE
+        "pout AS (SELECT url AS purl, trim(unnest(out_links)) AS l "
+        "FROM pages WHERE status = 'ok'),"
+        "out0 AS (SELECT se.keyword, se.seed, p.l "
+        "FROM seeds se JOIN pout p ON se.seed = p.purl),"
+    )
+    parts.append(
+        "res AS (SELECT keyword, seed, "
+        "CASE WHEN trim(l) = '' THEN NULL "
+        "WHEN regexp_matches(trim(l), '^https?://.+') THEN trim(l) "
+        "WHEN substr(trim(l), 1, 1) = '/' "
+        "THEN regexp_extract(seed, '^(https?://[^/]+)', 1) || trim(l) "
+        "ELSE NULL END AS resolved FROM out0),"
+    )
+    parts.append(
+        "adm1 AS (SELECT DISTINCT keyword, seed, "
+        "replace(resolved, '#', '') AS target FROM res "
+        "WHERE resolved IS NOT NULL "
+        "AND regexp_extract(replace(resolved, '#', ''), '^https?://([^/]+)', 1) "
+        "= regexp_extract(seed, '^https?://([^/]+)', 1) "
+        "AND replace(resolved, '#', '') <> seed),"
+    )
+    parts.append(
+        "d1 AS (SELECT a.keyword, a.seed, 1 AS depth, a.target AS url, "
+        "coalesce(pg.status, 'miss') AS status "
+        "FROM adm1 a LEFT JOIN pages pg ON a.target = pg.url)"
+    )
+    tail = (
+        "SELECT keyword, seed, CAST(depth AS INT) AS depth, url, status FROM d0 "
+        "UNION ALL "
+        "SELECT keyword, seed, CAST(depth AS INT) AS depth, url, status FROM d1"
+    )
+    return "\n".join(parts) + "\n" + tail
+
+
+@register("pipeline_serp_crawl_lifecycle", _lifecycle_oracle_sql(3))
+def pipeline_serp_crawl_lifecycle(spark, sf):
+    """THE composed lifecycle: keyword -> 3-page SERP pagination
+    (google_scraper.js:43-94: #pnnext advance, recaptcha abort) ->
+    admitted organic links (:203-206) -> those links SEED a bounded
+    link-depth crawl over the crawl corpus with social.js's frontier
+    semantics (resolve vs seed origin :109, '#'-removal normalize
+    :121-123, same-host gate :115-119, per-crawl seen set :127).
+    Output: one audit row per (keyword, seed, depth, url) with the
+    fetch status ('miss' = the frontier pointed outside the page
+    store). Exercises SURVEY §3.2 feeding §3.3 as ONE run — the m==0
+    organic variant's links land inside the crawl corpus URL space by
+    construction (sources/serp_corpus.py), so depth 0 fetches succeed
+    and depth 1 expands real out_links.
+
+    Scale shape: pagination state is a per-keyword broadcast dim
+    (keywords << pages) joined against the page store 3x; link
+    collection is map-side regexp + one distinct exchange; the crawl
+    legs are two hash joins on url (the engine's hot seen-set shape)
+    carrying (keyword, seed, url) only — bodies never leave the scan.
+    At 10^10 pages the depth unroll becomes CrawlEngine's superstep
+    loop (plans/loop.py) with the SERP-link seed table MERGEd into the
+    frontier; this composed query is its auditable 2-depth twin."""
+    from ..functions.urls import normalize_col, resolve_col
+    from ..sources.corpus import SMOKE as CRAWL_SMOKE, ensure_corpus
+
+    cp = ensure_corpus(CRAWL_SMOKE)["pages"]
+    adm = (
+        lambda b: (F.regexp_extract(b, "<h3>([^<]*)</h3>", 1) != "")
+        & (F.trim(F.regexp_extract(b, _P_G_ST, 2)) != "")
+        & (F.regexp_extract(b, '<a href="([^"]*)"><h3>', 1) != "")
+    )
+    store = _serp(spark, "google").select("url", "body")
+    state = _serp(spark, "google", raw=True).where(F.col("page_num") == 1).select(
+        "keyword", "url"
+    )
+    collected = []
+    for _page in range(1, 4):
+        fetched = store.join(F.broadcast(state), "url", "inner")
+        parsed = fetched.select(
+            "keyword",
+            "url",
+            F.col("body").contains('id="recaptcha"').alias("blocked"),
+            F.filter(
+                F.regexp_extract_all(F.col("body"), F.lit(_P_G_ORG), 0), adm
+            ).alias("blks"),
+            F.nullif(
+                F.regexp_extract(
+                    F.regexp_extract("body", _P_NEXT_TAG, 0), 'href="([^"]*)"', 1
+                ),
+                F.lit(""),
+            ).alias("next_href"),
+        ).localCheckpoint(eager=True)
+        collected.append(
+            parsed.where(~F.col("blocked")).select(
+                "keyword", F.explode("blks").alias("blk")
+            )
+        )
+        state = parsed.where(~F.col("blocked")).select(
+            "keyword", F.coalesce("next_href", "url").alias("url")
+        )
+    lb = collected[0]
+    for c in collected[1:]:
+        lb = lb.unionByName(c)
+    links = lb.select(
+        "keyword",
+        F.regexp_extract("blk", '<a href="([^"]*)"><h3>', 1).alias("link"),
+    ).distinct()
+    seeds = links.select("keyword", normalize_col(F.col("link")).alias("seed"))
+    pages = spark.read.parquet(cp).select("url", "status", "out_links")
+    pstat = pages.select(F.col("url").alias("pu"), F.col("status").alias("pstatus"))
+    d0 = seeds.join(pstat, seeds.seed == pstat.pu, "left").select(
+        "keyword",
+        "seed",
+        F.lit(0).cast("int").alias("depth"),
+        F.col("seed").alias("url"),
+        F.coalesce("pstatus", F.lit("miss")).alias("status"),
+    )
+    out0 = (
+        seeds.join(
+            pages.where(F.col("status") == "ok").select(
+                F.col("url").alias("pu"), "out_links"
+            ),
+            seeds.seed == F.col("pu"),
+            "inner",
+        )
+        .select("keyword", "seed", F.explode("out_links").alias("l"))
+    )
+    origin = F.regexp_extract("seed", "^(https?://[^/]+)", 1)
+    resolved = normalize_col(resolve_col(F.col("l"), origin))
+    host = lambda c: F.regexp_extract(c, "^https?://([^/]+)", 1)  # noqa: E731
+    adm1 = (
+        out0.select("keyword", "seed", resolved.alias("target"))
+        .where(
+            F.col("target").isNotNull()
+            & (host(F.col("target")) == host(F.col("seed")))
+            & (F.col("target") != F.col("seed"))
+        )
+        .distinct()
+    )
+    d1 = adm1.join(pstat, adm1.target == pstat.pu, "left").select(
+        "keyword",
+        "seed",
+        F.lit(1).cast("int").alias("depth"),
+        F.col("target").alias("url"),
+        F.coalesce("pstatus", F.lit("miss")).alias("status"),
+    )
+    return d0.unionByName(d1)

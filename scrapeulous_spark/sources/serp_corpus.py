@@ -180,12 +180,16 @@ class SerpParams:
     pages_per_kw: int = 3  # SERP pages (page_num) per keyword
     n_single: int = 4      # pages per single-page family (amazon/nyt/revimg)
     markup_version: int = 2  # v2: W/A/N markup variance (see above)
+    # generator revision: bump on ANY content change so cached corpora
+    # (keyed by tag) regenerate; r2 = organic m==0 links target the
+    # crawl corpus URL space
+    gen_rev: int = 2
 
     @property
     def tag(self) -> str:
         return (
             f"serp_k{self.n_kw}_p{self.pages_per_kw}_s{self.n_single}"
-            f"_v{self.markup_version}"
+            f"_v{self.markup_version}r{self.gen_rev}"
         )
 
 
@@ -198,8 +202,18 @@ SMOKE = SerpParams()
 def _google_organic(i: int, gi: int) -> str:
     m = (gi + i) % 7
     title = f"{_w(gi + i)} {_w(i + 3)} result {i}"
-    link = f"https://site{(gi + i) % 37}.example.org/a{i}"
-    disp = f"site{(gi + i) % 37}.example.org › a{i}"
+    if m == 0:
+        # this admitted variant's link lands INSIDE the crawl corpus's
+        # URL space (sources/corpus.py gen_pages: http://h{0..7}
+        # .example.com/p{0..29} at SMOKE scale) so the SERP->crawl
+        # lifecycle query (pipeline_serp_crawl_lifecycle) seeds a real
+        # fetchable frontier from organic results — google_scraper.js
+        # output feeding social.js input as one run
+        link = f"http://h{(gi + i) % 8}.example.com/p{(gi * 7 + i) % 30}"
+        disp = f"h{(gi + i) % 8}.example.com › p{(gi * 7 + i) % 30}"
+    else:
+        link = f"https://site{(gi + i) % 37}.example.org/a{i}"
+        disp = f"site{(gi + i) % 37}.example.org › a{i}"
     snippet = f"Snippet {_w(i + gi)} number {i} with details."
     if m == 3:
         title = ""  # admission: title falsy -> dropped (js:204)
