@@ -57,3 +57,18 @@ def test_training_pipeline_extras_present():
         "seen_recrawl_membership",
     ]:
         assert required in qs, required
+
+
+def test_query_baseline_names_still_registered():
+    """QUERY_BASELINE.json freezes the round-2 catalog so later
+    additions sort behind the never-verified backlog; a rename/removal
+    of a baseline query would silently corrupt that ordering."""
+    import json
+
+    import __spark_entry__ as E
+
+    baseline = json.load(open(os.path.join(REPO, "QUERY_BASELINE.json")))
+    qs = set(E.queries())
+    missing = [n for n in baseline["names"] if n not in qs]
+    assert not missing, f"baseline queries renamed/removed: {missing}"
+    assert len(baseline["names"]) == 168
