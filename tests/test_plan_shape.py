@@ -496,3 +496,23 @@ def test_set_containment_broadcasts_query_dim(spark, registry):
     plan = _plan(registry["join_set_containment"].spark(spark, _SF))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
+
+
+def test_lifecycle_crawl_joins_shape(spark, registry):
+    """pipeline_serp_crawl_lifecycle: the SERP-derived seed/link dims
+    must broadcast against the page store (seeds << pages at scale)
+    and nothing may degrade to a nested-loop — the composed run keeps
+    the engine's hot join shapes."""
+    plan = _plan(registry["pipeline_serp_crawl_lifecycle"].spark(spark, _SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lifecycle_pages_scan_prunes_bodies(spark, registry):
+    """The crawl-corpus scan inside the lifecycle reads only
+    (url, status, out_links) — page bodies never enter the plan."""
+    plan = _plan(registry["pipeline_serp_crawl_lifecycle"].spark(spark, _SF))
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "out_links" in line:
+            assert "body" not in line, line
