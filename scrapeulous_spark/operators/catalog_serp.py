@@ -127,12 +127,24 @@ def _strip_tags(c):
     return F.regexp_replace(c, "<[^>]*>", "")
 
 
+def _adec(c):
+    """Attribute-value entity decode: a DOM serializer writes '&' in
+    attribute values as '&amp;' (the E variance class); the reference
+    reads DECODED values via getAttribute/el.href, so every attribute
+    extraction decodes. Serp attr values contain no other entities."""
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
 def _tag_attr(c, tagpat: str, attr: str):
     """Order-insensitive attribute read (v2 corpus permutes attribute
     order): match the tag by its distinguishing class/attribute
     anywhere via `tagpat`, then pull `attr` out of the matched tag
-    text. NULL when the tag or the attribute is absent."""
-    return _x(F.regexp_extract(c, tagpat, 0), attr + '="([^"]*)"')
+    text (entity-decoded). NULL when the tag or the attribute is
+    absent."""
+    return F.nullif(
+        _adec(F.regexp_extract(F.regexp_extract(c, tagpat, 0), attr + '="([^"]*)"', 1)),
+        F.lit(""),
+    )
 
 
 def _dec(c):
@@ -184,12 +196,18 @@ def _ojspf(x: str) -> str:
     )
 
 
+def _oadec(x: str) -> str:
+    """Oracle twin of _adec."""
+    return f"replace({x}, '&amp;', '&')"
+
+
 def _otag_attr(x: str, tagpat: str, attr: str) -> str:
     """Oracle twin of _tag_attr."""
-    return (
-        f"nullif(regexp_extract(regexp_extract({x}, '{tagpat}'), "
-        f"'{attr}=\"([^\"]*)\"', 1), '')"
+    inner = (
+        f"regexp_extract(regexp_extract({x}, '{tagpat}'), "
+        f"'{attr}=\"([^\"]*)\"', 1)"
     )
+    return f"nullif({_oadec(inner)}, '')"
 
 
 # ================================================================ google
@@ -215,14 +233,14 @@ _P_SL_EL = '<a[^>]*class="fl"[^>]*>[^<]*</a>'
     f"""{_ob("google", _P_G_ORG)}
     SELECT url, pos1 AS position,
            regexp_extract(blk, '<h3>([^<]*)</h3>', 1) AS title,
-           nullif(regexp_extract(blk, '<a href="([^"]*)"><h3>', 1), '') AS link,
+           nullif({_oadec('''regexp_extract(blk, '<a href="([^"]*)"><h3>', 1)''')}, '') AS link,
            nullif(regexp_extract(blk, '<cite>([^<]*)</cite>', 1), '') AS displayed_link,
            nullif(regexp_extract(blk, '{_P_G_ST}', 1), '') AS result_date,
            trim(regexp_extract(blk, '{_P_G_ST}', 2)) AS snippet,
            nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
                a -> regexp_extract(a, '>([^<]*)<', 1)), '|'), '') AS sitelinks_titles,
            nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
-               a -> regexp_extract(a, 'href="([^"]*)"', 1)), '|'), '') AS sitelinks_links
+               a -> replace(regexp_extract(a, 'href="([^"]*)"', 1), '&amp;', '&')), '|'), '') AS sitelinks_links
     FROM b
     WHERE regexp_extract(blk, '<h3>([^<]*)</h3>', 1) <> ''
       AND trim(regexp_extract(blk, '{_P_G_ST}', 2)) <> ''
@@ -236,7 +254,9 @@ def proj_google_organic(spark, sf):
     (:152-158), sitelinks from .osl a.fl (:186-199)."""
     b = _blocks(spark, "google", _P_G_ORG)
     title = F.regexp_extract("blk", "<h3>([^<]*)</h3>", 1)
-    link = _x(F.col("blk"), '<a href="([^"]*)"><h3>')
+    link = F.nullif(
+        _adec(F.regexp_extract("blk", '<a href="([^"]*)"><h3>', 1)), F.lit("")
+    )
     snippet = F.trim(F.regexp_extract("blk", _P_G_ST, 2))
     out = b.select(
         "url",
@@ -260,7 +280,7 @@ def proj_google_organic(spark, sf):
             F.array_join(
                 F.transform(
                     F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
-                    lambda a: F.regexp_extract(a, 'href="([^"]*)"', 1),
+                    lambda a: _adec(F.regexp_extract(a, 'href="([^"]*)"', 1)),
                 ),
                 "|",
             ),
@@ -380,7 +400,7 @@ _P_G_MAP = '<div class="H93uF"><a href="([^"]*)"><img src="([^"]*)">'
     "proj_google_local_map",
     f"""WITH m AS (
       SELECT url,
-             nullif(regexp_extract(body, '{_P_G_MAP}', 1), '') AS link,
+             nullif({_oadec(f"regexp_extract(body, '{_P_G_MAP}', 1)")}, '') AS link,
              regexp_extract(body, '{_P_G_MAP}', 2) AS imgsrc
       FROM {_OP} WHERE engine = 'google'),
     g AS (SELECT url, link, substr(imgsrc, 1, 50) AS image,
@@ -400,7 +420,7 @@ def proj_google_local_map(spark, sf):
     when exactly 3 parts (:299-308), '.' inserted at digit index 2."""
     m = _serp(spark, "google").select(
         "url",
-        _x(F.col("body"), _P_G_MAP, 1).alias("link"),
+        F.nullif(_adec(F.regexp_extract("body", _P_G_MAP, 1)), F.lit("")).alias("link"),
         F.regexp_extract("body", _P_G_MAP, 2).alias("imgsrc"),
     )
     g = m.where(F.col("link").isNotNull()).select(
@@ -435,8 +455,8 @@ _P_G_SVC = '<div class="RGCvMc"><img[^>]*class="rISBZc"[^>]*>[^<]*</div>'
     f"""{_ob("google", _P_G_PLACE)},
     f AS (SELECT url, pos1 AS position,
             nullif(regexp_extract(blk, 'data-cid="([^"]*)"', 1), '') AS place_id,
-            nullif(regexp_extract(regexp_extract(blk, ' href="([^"]*)"', 1),
-                                  'lsig=([^&"]*)', 1), '') AS lsig,
+            nullif(regexp_extract(replace(regexp_extract(blk, ' href="([^"]*)"', 1),
+                                  '&amp;', '&'), 'lsig=([^&"]*)', 1), '') AS lsig,
             nullif(regexp_extract(blk, '<img src="([^"]*)">', 1), '') AS thumbnail,
             trim(regexp_extract(blk, '<div role="heading"><span>([^<]*)</span></div>', 1)) AS title,
             regexp_extract(blk, '<div class="r1">(.*?)</div>', 1) AS r1,
@@ -479,7 +499,7 @@ def proj_google_places(spark, sf):
     the positive/negative icon blobs (:386-406); position 1-based over
     ALL cards (:317-320, no admission filter)."""
     b = _blocks(spark, "google", _P_G_PLACE)
-    href = F.regexp_extract("blk", ' href="([^"]*)"', 1)
+    href = _adec(F.regexp_extract("blk", ' href="([^"]*)"', 1))
     f = b.select(
         "url",
         F.col("pos1").alias("position"),
@@ -661,7 +681,7 @@ _P_B_LINK = '<h2><a href="([^"]*)">'
     f"""{_ob("bing", _P_B_ORG)},
     f AS (SELECT url, pos1,
             nullif(regexp_extract(blk, '{_P_B_TITLE}', 1), '') AS title,
-            nullif(regexp_extract(blk, '{_P_B_LINK}', 1), '') AS link,
+            nullif({_oadec(f"regexp_extract(blk, '{_P_B_LINK}', 1)")}, '') AS link,
             nullif(regexp_extract(blk, '<cite>([^<]*)</cite>', 1), '') AS displayed_link,
             nullif(trim(regexp_extract(blk, '<div class="b_caption"><p>([^<]*)</p></div>', 1)), '') AS snippet,
             nullif(array_to_string(regexp_extract_all(blk,
@@ -669,7 +689,7 @@ _P_B_LINK = '<h2><a href="([^"]*)">'
             nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
                 a -> regexp_extract(a, '>([^<]*)<', 1)), '|'), '') AS sitelinks_titles,
             nullif(array_to_string(list_transform(regexp_extract_all(blk, '{_P_SL_EL}'),
-                a -> regexp_extract(a, 'href="([^"]*)"', 1)), '|'), '') AS sitelinks_links
+                a -> replace(regexp_extract(a, 'href="([^"]*)"', 1), '&amp;', '&')), '|'), '') AS sitelinks_links
           FROM b)
     SELECT url,
            row_number() OVER (PARTITION BY url ORDER BY pos1) AS position,
@@ -688,7 +708,7 @@ def proj_bing_organic(spark, sf):
         "url",
         "pos1",
         _x(F.col("blk"), _P_B_TITLE).alias("title"),
-        _x(F.col("blk"), _P_B_LINK).alias("link"),
+        F.nullif(_adec(F.regexp_extract("blk", _P_B_LINK, 1)), F.lit("")).alias("link"),
         _x(F.col("blk"), "<cite>([^<]*)</cite>").alias("displayed_link"),
         F.nullif(
             F.trim(
@@ -719,7 +739,7 @@ def proj_bing_organic(spark, sf):
             F.array_join(
                 F.transform(
                     F.regexp_extract_all(F.col("blk"), F.lit(_P_SL_EL), 0),
-                    lambda a: F.regexp_extract(a, 'href="([^"]*)"', 1),
+                    lambda a: _adec(F.regexp_extract(a, 'href="([^"]*)"', 1)),
                 ),
                 "|",
             ),
@@ -778,7 +798,7 @@ _P_B_RATING = "[0-9][,.][0-9]"
            CASE WHEN len(parts) >= 2 THEN parts[1] END AS address,
            coalesce(phone_el, CASE WHEN len(parts) >= 2 THEN parts[2] END) AS phone,
            {_ojspf("rat")} AS rating,
-           coalesce(nullif(regexp_extract(blk, '<h2><a href="([^"]*)"></a></h2>', 1), ''),
+           coalesce(nullif({_oadec('''regexp_extract(blk, '<h2><a href="([^"]*)"></a></h2>', 1)''')}, ''),
                     '{_q(ERR_AD_TRACKING)}') AS tracking_link,
            nullif(array_to_string(list_transform(regexp_extract_all(blk,
                '<div class="b_ads1line">.*?</div>'), d ->
@@ -877,7 +897,10 @@ def proj_bing_ads(spark, sf):
         F.coalesce(phone_el, F.when(F.size(parts) >= 2, F.get(parts, 1))).alias("phone"),
         _js_parsefloat(rat).alias("rating"),
         F.coalesce(
-            _x(F.col("blk"), '<h2><a href="([^"]*)"></a></h2>'),
+            F.nullif(
+                _adec(F.regexp_extract("blk", '<h2><a href="([^"]*)"></a></h2>', 1)),
+                F.lit(""),
+            ),
             F.lit(ERR_AD_TRACKING),
         ).alias("tracking_link"),
         F.nullif(F.array_join(sl, "|"), F.lit("")).alias("sitelinks_titles"),
@@ -927,7 +950,7 @@ _P_B_UNIT = '<div class="pla-unit">.*?</div>'
              list_transform(regexp_extract_all(blk,
                '<span class="pla-extensions-container">([^<]*)</span>', 1), t -> trim(t)),
              t -> t <> ''))), '|'), '') AS extensions,
-           nullif(regexp_extract(blk, '<div class="pla-unit"><a href="([^"]*)">', 1), '') AS link,
+           nullif({_oadec('''regexp_extract(blk, '<div class="pla-unit"><a href="([^"]*)">', 1)''')}, '') AS link,
            {_otag_attr("blk", '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href")} AS vendor_link,
            nullif(regexp_extract(blk, '<span class="Gor6zc"><img src="([^"]*)">', 1), '') AS thumbnail
     FROM f WHERE price IS NOT NULL""",
@@ -1038,7 +1061,12 @@ def proj_bing_shopping(spark, sf):
         .try_cast("double")
         .alias("extracted_price"),
         F.nullif(F.array_join(ext, "|"), F.lit("")).alias("extensions"),
-        _x(F.col("blk"), '<div class="pla-unit"><a href="([^"]*)">').alias("link"),
+        F.nullif(
+            _adec(
+                F.regexp_extract("blk", '<div class="pla-unit"><a href="([^"]*)">', 1)
+            ),
+            F.lit(""),
+        ).alias("link"),
         _tag_attr(F.col("blk"), '<a[^>]*class="plantl pla-unit-title-link"[^>]*>', "href").alias(
             "vendor_link"
         ),
@@ -1275,7 +1303,7 @@ _P_B_PAG_A = '<li><a href="([^"]*)">([^<]*)</a></li>'
           FROM p WHERE pag <> '')
     SELECT url,
            trim(regexp_extract(a, '{_P_B_PAG_A}', 2)) AS page_text,
-           regexp_extract(a, '{_P_B_PAG_A}', 1) AS href,
+           {_oadec(f"regexp_extract(a, '{_P_B_PAG_A}', 1)")} AS href,
            {_otag_attr("pag", '<a[^>]*class="sb_pagN sb_pagN_bp"[^>]*>', "href")} AS next,
            TRY_CAST(nullif(regexp_extract(pag,
              '<a class="sb_pagS sb_pagS_bp b_widePag sb_bp">([^<]*)</a>', 1), '') AS BIGINT) AS current
@@ -1299,7 +1327,7 @@ def proj_bing_pagination(spark, sf):
     out = b.select(
         "url",
         F.trim(F.regexp_extract("a", _P_B_PAG_A, 2)).alias("page_text"),
-        F.regexp_extract("a", _P_B_PAG_A, 1).alias("href"),
+        _adec(F.regexp_extract("a", _P_B_PAG_A, 1)).alias("href"),
         _tag_attr(F.col("pag"), '<a[^>]*class="sb_pagN sb_pagN_bp"[^>]*>', "href").alias("next"),
         _x(
             F.col("pag"), '<a class="sb_pagS sb_pagS_bp b_widePag sb_bp">([^<]*)</a>'
@@ -1541,11 +1569,11 @@ _P_RG_AIMG = '<a[^>]*><span>[^<]*</span>(<img[^>]*>)'
     "proj_rev_image_meta",
     f"""{_ob("revimg_google", _P_RG_BOX)},
     f AS (SELECT url, pos1 - 1 AS rank, blk,
-            nullif(regexp_extract(regexp_extract(blk, '{_P_RG_A1}', 1),
-                                  'href="([^"]*)"', 1), '') AS href,
+            nullif(replace(regexp_extract(regexp_extract(blk, '{_P_RG_A1}', 1),
+                                  'href="([^"]*)"', 1), '&amp;', '&'), '') AS href,
             nullif(regexp_extract(blk, 'data-iurl="([^"]*)"', 1), '') AS iurl,
             contains(blk, '<img ') AS has_img,
-            nullif(regexp_extract(blk, '{_P_RG_A2}', 1), '') AS a2_href,
+            nullif({_oadec(f"regexp_extract(blk, '{_P_RG_A2}', 1)")}, '') AS a2_href,
             regexp_extract(blk, '{_P_RG_A2}', 2) AS a2_text,
             contains(blk, '</a><a href=') AS has_a2,
             nullif(regexp_extract(regexp_extract(blk, '{_P_RG_AIMG}', 1),
@@ -1593,7 +1621,9 @@ def proj_rev_image_meta(spark, sf):
     1-based rank per SURVEY §1.4.4."""
     b = _blocks(spark, "revimg_google", _P_RG_BOX)
     href = F.nullif(
-        F.regexp_extract(F.regexp_extract("blk", _P_RG_A1, 1), 'href="([^"]*)"', 1),
+        _adec(
+            F.regexp_extract(F.regexp_extract("blk", _P_RG_A1, 1), 'href="([^"]*)"', 1)
+        ),
         F.lit(""),
     )
     f = b.select(
@@ -1603,7 +1633,7 @@ def proj_rev_image_meta(spark, sf):
         href.alias("href"),
         _x(F.col("blk"), 'data-iurl="([^"]*)"').alias("iurl"),
         F.col("blk").contains("<img ").alias("has_img"),
-        _x(F.col("blk"), _P_RG_A2, 1).alias("a2_href"),
+        F.nullif(_adec(F.regexp_extract("blk", _P_RG_A2, 1)), F.lit("")).alias("a2_href"),
         F.regexp_extract("blk", _P_RG_A2, 2).alias("a2_text"),
         F.col("blk").contains('</a><a href=').alias("has_a2"),
         _x(F.regexp_extract("blk", _P_RG_AIMG, 1), 'src="([^"]*)"').alias("aimg_src"),
@@ -1729,8 +1759,8 @@ def _pagination_oracle_sql(num_pages: int = 3) -> str:
             "CASE WHEN NOT contains(body, 'id=\"recaptcha\"') THEN CAST(len(list_filter("
             f"regexp_extract_all(body, '{org_esc}'), {adm})) AS INT) "
             "END AS n_organic, "
-            f"nullif(regexp_extract(regexp_extract(body, '{next_esc}'), "
-            "'href=\\\"([^\\\"]*)\\\"', 1), '') "
+            f"nullif(replace(regexp_extract(regexp_extract(body, '{next_esc}'), "
+            "'href=\\\"([^\\\"]*)\\\"', 1), '&amp;', '&'), '') "
             f"AS next_href FROM p{r}),"
         )
         if r < num_pages:
@@ -1814,8 +1844,8 @@ def _lifecycle_oracle_sql(num_pages: int = 3) -> str:
             f"r{r} AS (SELECT keyword, url, "
             "contains(body, 'id=\"recaptcha\"') AS blocked, "
             f"list_filter(regexp_extract_all(body, '{org_esc}'), {adm}) AS blks, "
-            f"nullif(regexp_extract(regexp_extract(body, '{next_esc}'), "
-            "'href=\\\"([^\\\"]*)\\\"', 1), '') "
+            f"nullif(replace(regexp_extract(regexp_extract(body, '{next_esc}'), "
+            "'href=\\\"([^\\\"]*)\\\"', 1), '&amp;', '&'), '') "
             f"AS next_href FROM p{r}),"
         )
         if r < num_pages:
@@ -1830,7 +1860,8 @@ def _lifecycle_oracle_sql(num_pages: int = 3) -> str:
     parts.append(f"lb AS ({blk_union}),")
     parts.append(
         "links AS (SELECT DISTINCT keyword, "
-        "regexp_extract(blk, '<a href=\"([^\"]*)\"><h3>', 1) AS link FROM lb),"
+        "replace(regexp_extract(blk, '<a href=\"([^\"]*)\"><h3>', 1), "
+        "'&amp;', '&') AS link FROM lb),"
     )
     parts.append(
         f"pages AS (SELECT url, status, out_links FROM read_parquet('{cp}')),"
@@ -1928,8 +1959,10 @@ def pipeline_serp_crawl_lifecycle(spark, sf):
                 F.regexp_extract_all(F.col("body"), F.lit(_P_G_ORG), 0), adm
             ).alias("blks"),
             F.nullif(
-                F.regexp_extract(
-                    F.regexp_extract("body", _P_NEXT_TAG, 0), 'href="([^"]*)"', 1
+                _adec(
+                    F.regexp_extract(
+                        F.regexp_extract("body", _P_NEXT_TAG, 0), 'href="([^"]*)"', 1
+                    )
                 ),
                 F.lit(""),
             ).alias("next_href"),
@@ -1947,7 +1980,7 @@ def pipeline_serp_crawl_lifecycle(spark, sf):
         lb = lb.unionByName(c)
     links = lb.select(
         "keyword",
-        F.regexp_extract("blk", '<a href="([^"]*)"><h3>', 1).alias("link"),
+        _adec(F.regexp_extract("blk", '<a href="([^"]*)"><h3>', 1)).alias("link"),
     ).distinct()
     seeds = links.select("keyword", normalize_col(F.col("link")).alias("seed"))
     pages = spark.read.parquet(cp).select("url", "status", "out_links")

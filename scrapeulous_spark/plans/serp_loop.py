@@ -38,9 +38,16 @@ from ..operators.catalog_serp import (  # noqa: E402
     _P_G_ST,
     _P_IP,
     _P_NEXT_TAG,
+    _adec,
     _canon,
 )
 from ..sources.serp_corpus import canon_py  # noqa: E402
+
+
+def _adec_py(v: str) -> str:
+    """Python twin of catalog_serp._adec (attribute entity decode —
+    getAttribute/el.href return decoded values)."""
+    return v.replace("&amp;", "&")
 
 
 def _n_admitted(body):
@@ -95,8 +102,12 @@ class SerpPaginationEngine:
                     ~F.col("body").contains('id="recaptcha"'), _n_admitted(F.col("body"))
                 ).alias("n_organic"),
                 F.nullif(
-                    F.regexp_extract(
-                        F.regexp_extract("body", _P_NEXT_TAG, 0), 'href="([^"]*)"', 1
+                    _adec(
+                        F.regexp_extract(
+                            F.regexp_extract("body", _P_NEXT_TAG, 0),
+                            'href="([^"]*)"',
+                            1,
+                        )
                     ),
                     F.lit(""),
                 ).alias("next_href"),
@@ -169,5 +180,5 @@ def run_serp_oracle(rows: list[dict], num_pages: int = 3) -> list[tuple]:
             nm = re.search(_P_NEXT_TAG, body)
             nh = re.search('href="([^"]*)"', nm.group(0)) if nm else None
             if nh and nh.group(1):
-                cur = nh.group(1)  # else: no-op click, re-parse (js:631-636)
+                cur = _adec_py(nh.group(1))  # no-match: re-parse (js:631-636)
     return sorted(out)

@@ -80,7 +80,10 @@ def url_encode_fixed(s: str) -> str:
 #       (serializers don't guarantee order);
 #   N — benign inline formatting tags (<em>/<b>/<strong>) nested
 #       inside text the reference reads via innerText, which flattens
-#       them.
+#       them;
+#   E — href attribute values entity-encode '&' as '&amp;' (every DOM
+#       serializer does; the reference reads DECODED values via
+#       getAttribute/el.href).
 #
 # The parsers handle W and N with ONE canonicalization pre-pass
 # (collapse '>\s+<' junctions, strip inline formatting tags — the
@@ -101,12 +104,26 @@ _WS_CYCLE = ["", " ", "\n", "", "  ", "\n  ", "", "\t", "\n\t", ""]
 _ACTIVE = {"v": 2}
 
 
+_HREF_RE = re.compile(r'href="[^"]*"')
+
+
+def encode_href_entities(html: str) -> str:
+    """E class: a DOM serializer always writes '&' inside attribute
+    values as '&amp;' (page.content() returns serialized HTML; the
+    reference reads DECODED values via getAttribute/el.href,
+    google_scraper.js:148, :174). Applied to every href value; parsers
+    must decode at attribute extraction (catalog_serp._adec)."""
+    return _HREF_RE.sub(lambda m: m.group(0).replace("&", "&amp;"), html)
+
+
 def vary_junctions(html: str, j0: int) -> str:
     """Deterministically inject whitespace-only text nodes between
     adjacent tags (every '><' junction), cycling through the variant
-    table from offset j0."""
+    table from offset j0 — plus the E-class href entity encoding
+    (this is the one assembly hook every family body passes through)."""
     if _ACTIVE["v"] < 2:
         return html
+    html = encode_href_entities(html)
     parts = html.split("><")
     out = [parts[0]]
     for k, part in enumerate(parts[1:]):
@@ -182,8 +199,8 @@ class SerpParams:
     markup_version: int = 2  # v2: W/A/N markup variance (see above)
     # generator revision: bump on ANY content change so cached corpora
     # (keyed by tag) regenerate; r2 = organic m==0 links target the
-    # crawl corpus URL space
-    gen_rev: int = 2
+    # crawl corpus URL space; r3 = E-class href entity encoding
+    gen_rev: int = 3
 
     @property
     def tag(self) -> str:

@@ -111,11 +111,11 @@ def test_serp_crawl_lifecycle_matches_python_replay(spark, corpus_rows):
                     and lm and lm.group(1)
                     and sm and sm.group(2).strip()
                 ):
-                    links.add((kw, lm.group(1)))
+                    links.add((kw, lm.group(1).replace("&amp;", "&")))
             nm = re.search(_P_NEXT_TAG, body)
             nh = re.search('href="([^"]*)"', nm.group(0)) if nm else None
             if nh and nh.group(1):
-                cur = nh.group(1)
+                cur = nh.group(1).replace("&amp;", "&")
     pages = {
         r["url"]: r
         for r in pq.read_table(

@@ -175,6 +175,21 @@ def test_variance_attr_order_present():
     assert re.search(r'<a href="[^"]*" id="pnnext">', joined), "pnnext permutation"
 
 
+def test_variance_href_entities_present():
+    """E class: serialized href values entity-encode '&' as '&amp;'
+    (page.content() serializes; the reference reads decoded values via
+    getAttribute/el.href) — the #pnnext and imgres hrefs must carry
+    encoded separators in the stored markup."""
+    import re
+
+    joined = "\n".join(_v2_bodies())
+    assert re.search(r'href="[^"]*&amp;[^"]*"', joined), "no encoded hrefs"
+    assert re.search(r'href="[^"]*\?q=[^"]*&amp;start=', joined), "pnnext"
+    assert re.search(r'href="/imgres\?imgurl=[^"]*&amp;', joined), "imgres"
+    # raw '&' never appears inside an href value anymore
+    assert not re.search(r'href="[^"]*&(?!amp;)[^"]*"', joined)
+
+
 def test_variance_inline_tags_present():
     """N class: benign inline formatting tags nest inside innerText-read
     text (google_scraper.js:146 reads innerText, which flattens them)."""
