@@ -1189,6 +1189,35 @@ def src_sitemap_urls(spark, sf):
 # --------------------------------------------------------------- html -> text
 
 
+def html_to_text_col(body):
+    """HTML -> visible text column expr: strip tags, decode the core
+    entities, collapse whitespace. Entity decode order matters:
+    '&amp;' must decode LAST or '&amp;lt;' double-decodes to '<'
+    (round-2 ADVICE; pinned by tests/test_ingest_roundtrip.py)."""
+    return F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.replace(
+                    F.replace(
+                        F.regexp_replace(
+                            F.coalesce(body, F.lit("")), "<[^>]*>", " "
+                        ),
+                        F.lit("&lt;"),
+                        F.lit("<"),
+                    ),
+                    F.lit("&gt;"),
+                    F.lit(">"),
+                ),
+                F.lit("&amp;"),
+                F.lit("&"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+
 @register(
     "fn_html_to_text",
     f"""SELECT url,
@@ -1218,32 +1247,9 @@ def fn_html_to_text(spark, sf):
     (sig, head, n_words) at the scan and never shuffle. A 100 TB page
     store runs this as a projection inside whatever job reads it next
     — zero extra passes."""
-    # entity decode order matters: '&amp;' must decode LAST, or
-    # '&amp;lt;' double-decodes to '<' (round-2 ADVICE)
-    text = F.trim(
-        F.regexp_replace(
-            F.replace(
-                F.replace(
-                    F.replace(
-                        F.regexp_replace(
-                            F.coalesce(F.col("body"), F.lit("")), "<[^>]*>", " "
-                        ),
-                        F.lit("&lt;"),
-                        F.lit("<"),
-                    ),
-                    F.lit("&gt;"),
-                    F.lit(">"),
-                ),
-                F.lit("&amp;"),
-                F.lit("&"),
-            ),
-            r"\s+",
-            " ",
-        )
-    )
     return (
         _corpus(spark, "pages")
-        .select("url", text.alias("text"))
+        .select("url", html_to_text_col(F.col("body")).alias("text"))
         .select(
             "url",
             F.when(F.col("text") == "", F.lit(0))

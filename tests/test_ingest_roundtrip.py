@@ -12,6 +12,7 @@ import zlib
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from scrapeulous_spark.operators import load_all_catalogs
 from scrapeulous_spark.operators.pipeline import round_half_away
@@ -170,3 +171,24 @@ def test_redirect_resolve_matches_python_replay(spark, registry):
         assert r["final_url"] == cur, r
         assert r["hops"] == hops, r
         assert r["truncated"] == (hops == 3 and cur in edges), r
+
+
+def test_html_to_text_entity_decode_order(spark):
+    """'&amp;' decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;' and
+    must surface as '&lt;', never double-decode to '<' (round-2
+    advice). Also pins tag-strip before decode and whitespace
+    collapse."""
+    from scrapeulous_spark.operators.catalog_engine import html_to_text_col
+
+    rows = spark.createDataFrame(
+        [
+            ("&amp;lt;", "&lt;"),
+            ("&lt;b&gt;", "<b>"),
+            ("a &amp; b", "a & b"),
+            ("<p>x</p>\t <p>y</p>", "x y"),
+            ("&amp;amp;", "&amp;"),
+        ],
+        "body string, want string",
+    ).select(html_to_text_col(F.col("body")).alias("got"), "want")
+    for r in rows.collect():
+        assert r.got == r.want, (r.got, r.want)
