@@ -65,7 +65,7 @@ def _canon(c):
     return c
 
 
-_OBODY = "regexp_replace(body, '>\\s+<', '><', 'g')"
+_OBODY = f"regexp_replace(body, '{JUNCTION_WS_RE}', '><', 'g')"
 for _pat, _g in INLINE_PAIR_RES:
     _OBODY = f"regexp_replace({_OBODY}, '{_pat}', '\\{_g}', 'g')"
 # canonical page source for every oracle twin (sink_raw_html excepted:

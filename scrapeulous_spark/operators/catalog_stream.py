@@ -45,17 +45,9 @@ _FLUSH_SEED = 999_999
 
 
 def _cache_base() -> str:
-    base = os.environ.get("SPARK_GRAFT_CACHE")
-    if base is None:
-        repo = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        base = (
-            os.path.join(repo, ".cache")
-            if os.path.isdir(repo)
-            else os.path.join(tempfile.gettempdir(), "scrapeulous_cache")
-        )
-    return base
+    from ..sources.corpus import cache_base
+
+    return cache_base()
 
 
 def ensure_stream_corpus() -> dict:
@@ -162,10 +154,29 @@ def _as_stream_dir(parquet_file: str) -> str:
 
 
 def _drain(df, output_mode: str = "append"):
+    """Drain the bounded stream, then RELEASE the harness state: the
+    memory sink pins every drained row in the driver JVM for the
+    session lifetime and each run leaks a checkpoint tempdir, so
+    repeated invocations in one long session (driver correctness +
+    bench + tests) would grow without bound. Materialize, drop the
+    temp view, remove the checkpoint, and hand back a plain local
+    DataFrame."""
+    import shutil
+
     from ..streaming.frontier_stream import run_to_completion
 
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    return run_to_completion(df, ckpt, output_mode=output_mode)
+    try:
+        out = run_to_completion(df, ckpt, output_mode=output_mode)
+        spark = out.sparkSession
+        rows = out.collect()
+        schema = out.schema
+        for view in spark.catalog.listTables():
+            if view.name.startswith("stream_out_") and view.isTemporary:
+                spark.catalog.dropTempView(view.name)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _req_stream(spark):

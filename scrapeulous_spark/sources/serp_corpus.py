@@ -915,14 +915,6 @@ def generate(p: SerpParams, out_dir: str) -> str:
 
 
 def ensure_serp_corpus(p: SerpParams = SMOKE) -> str:
-    # same base resolution as corpus.default_cache_dir (zip-import safe)
-    base = os.environ.get("SPARK_GRAFT_CACHE")
-    if base is None:
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        if os.path.isdir(repo):
-            base = os.path.join(repo, ".cache")
-        else:
-            import tempfile
+    from .corpus import cache_base
 
-            base = os.path.join(tempfile.gettempdir(), "scrapeulous_cache")
-    return generate(p, os.path.join(base, "serps", p.tag))
+    return generate(p, os.path.join(cache_base(), "serps", p.tag))

@@ -49,9 +49,13 @@ def main() -> None:
     )
     store = spark.read.parquet(path)
     n_pages = store.count()
-    total_mb = (
-        store.select(F.sum(F.length("body")).alias("b")).collect()[0]["b"] / 1e6
-    )
+    fam_mb = {
+        r["engine"]: r["b"] / 1e6
+        for r in store.groupBy("engine")
+        .agg(F.sum(F.length("body")).alias("b"))
+        .collect()
+    }
+    total_mb = sum(fam_mb.values())
 
     def google_organic(df):
         b = (
@@ -95,16 +99,16 @@ def main() -> None:
         return f.withColumn("position", F.row_number().over(w))
 
     for name, fn in [("google_organic", google_organic), ("bing_organic", bing_organic)]:
+        fam = name.split("_")[0]
         fn(store).count()  # warm (codegen + page cache)
         t0 = time.time()
         rows = fn(store).count()
         dt = time.time() - t0
-        fam_pages = store.where(
-            F.col("engine") == name.split("_")[0]
-        ).count()
+        fam_pages = store.where(F.col("engine") == fam).count()
         print(
             f"{name}: {rows} rows from {fam_pages} pages in {dt:.2f}s "
-            f"-> {fam_pages / dt:,.0f} pages/s ({total_mb / dt:,.0f} MB/s corpus-relative)"
+            f"-> {fam_pages / dt:,.0f} pages/s "
+            f"({fam_mb.get(fam, 0.0) / dt:,.0f} MB/s of family body text)"
         )
     print(f"store: {n_pages} pages, {total_mb:.1f} MB of body text")
 
