@@ -372,6 +372,7 @@ def main():
                     "unit": unit,
                     "queries": state["queries"],
                     "sf": sf,
+                    "serp_extract": state.get("serp_extract"),
                     "crawl": crawl or None,
                     "elapsed_sec": round(time.time() - t0, 1),
                 }
@@ -383,6 +384,27 @@ def main():
     # be lost to a timeout in the expensive part (round-1 rc=124)
     state["queries"] = run_queries(sf_dir, cpus)
     emit()
+
+    # 1b. SERP extraction throughput (cheap, ~30-60s incl. first-run
+    # corpus gen): the proj_* plan shape at a 14k-page store — pages/s
+    # is the scan-scaling number for the extraction axis
+    if remaining() > 180:
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "bench_serp_extract.py"),
+                    "2000", str(cpus), "--json",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=min(300.0, remaining() - 60),
+            )
+            state["serp_extract"] = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — bench must degrade, not die
+            sys.stderr.write(f"serp_extract leg skipped: {e}\n")
+        emit()
 
     # 2. crawl corpus: generate in the parent ONCE (idempotent, ~2 min
     # cold) so a fresh clone doesn't pay it inside the first timed

@@ -8,11 +8,14 @@ store, reporting pages/sec and MB/sec. The plan is map-only up to the
 single rank-window shuffle, so this is the number that scales
 linearly with executors at 10^10 pages.
 
-Usage: python tools/bench_serp_extract.py [n_kw] [cpus]   # default 2000 16
+Usage: python tools/bench_serp_extract.py [n_kw] [cpus] [--json]
+(defaults 2000 16; --json emits one machine-readable line for
+bench.py's serp_extract leg)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -22,8 +25,10 @@ sys.path.insert(0, _REPO)
 
 
 def main() -> None:
-    n_kw = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    n_kw = int(args[0]) if args else 2000
+    cpus = int(args[1]) if len(args) > 1 else 16
     from dataclasses import replace
 
     from pyspark.sql import SparkSession, Window
@@ -98,6 +103,7 @@ def main() -> None:
         w = Window.partitionBy("url").orderBy("pos0")
         return f.withColumn("position", F.row_number().over(w))
 
+    rec = {"n_pages": n_pages, "body_mb": round(total_mb, 1), "cpus": cpus}
     for name, fn in [("google_organic", google_organic), ("bing_organic", bing_organic)]:
         fam = name.split("_")[0]
         fn(store).count()  # warm (codegen + page cache)
@@ -105,12 +111,23 @@ def main() -> None:
         rows = fn(store).count()
         dt = time.time() - t0
         fam_pages = store.where(F.col("engine") == fam).count()
-        print(
-            f"{name}: {rows} rows from {fam_pages} pages in {dt:.2f}s "
-            f"-> {fam_pages / dt:,.0f} pages/s "
-            f"({fam_mb.get(fam, 0.0) / dt:,.0f} MB/s of family body text)"
-        )
-    print(f"store: {n_pages} pages, {total_mb:.1f} MB of body text")
+        rec[name] = {
+            "rows": rows,
+            "pages": fam_pages,
+            "wall_sec": round(dt, 2),
+            "pages_per_sec": round(fam_pages / dt, 1),
+            "body_mb_per_sec": round(fam_mb.get(fam, 0.0) / dt, 1),
+        }
+        if not as_json:
+            print(
+                f"{name}: {rows} rows from {fam_pages} pages in {dt:.2f}s "
+                f"-> {fam_pages / dt:,.0f} pages/s "
+                f"({fam_mb.get(fam, 0.0) / dt:,.0f} MB/s of family body text)"
+            )
+    if as_json:
+        print(json.dumps(rec))
+    else:
+        print(f"store: {n_pages} pages, {total_mb:.1f} MB of body text")
 
 
 if __name__ == "__main__":
