@@ -50,12 +50,23 @@ def _cache_base() -> str:
     return cache_base()
 
 
+# bump on any generator CONTENT change the parameters below don't
+# capture (row recipes, file split rule, schema)
+_GEN_REV = 2
+
+
 def ensure_stream_corpus() -> dict:
     """Deterministic request/response event-log parquet dirs (file
     streaming sources need DIRECTORIES; three request files make three
-    micro-batches under maxFilesPerTrigger=1)."""
-    root = os.path.join(_cache_base(), "streams", "v2")
-    marker = os.path.join(root, ".done_v2")
+    micro-batches under maxFilesPerTrigger=1).
+
+    The cache directory name embeds the generator parameters + revision
+    (mirroring SerpParams.tag, per round-3 ADVICE): editing _N_REQ /
+    _MAX_LAG_S / the flush recipe changes the tag, so a stale corpus
+    can never be served silently the way a fixed 'v2' marker could."""
+    tag = f"n{_N_REQ}_lag{_MAX_LAG_S}_flush{_FLUSH_SEED}_rev{_GEN_REV}"
+    root = os.path.join(_cache_base(), "streams", tag)
+    marker = os.path.join(root, ".done")
     rdir = os.path.join(root, "reqs")
     pdir = os.path.join(root, "resps")
     if not os.path.exists(marker):
@@ -154,27 +165,22 @@ def _as_stream_dir(parquet_file: str) -> str:
 
 
 def _drain(df, output_mode: str = "append"):
-    """Drain the bounded stream, then RELEASE the harness state: the
-    memory sink pins every drained row in the driver JVM for the
-    session lifetime and each run leaks a checkpoint tempdir, so
-    repeated invocations in one long session (driver correctness +
-    bench + tests) would grow without bound. Materialize, drop the
-    temp view, remove the checkpoint, and hand back a plain local
-    DataFrame."""
+    """Drain the bounded stream through a FILE sink (round-3 verdict
+    #4: the memory-sink drain collect()ed every drained row into the
+    driver and pinned it there — fine for the bounded fixtures, but
+    not the shape you would deploy). run_to_files writes parquet from
+    the executors and hands back a plain scan over the sink directory,
+    so the drained result is never driver-materialized; the checkpoint
+    tempdir is released once the drain commits (the sink's own
+    _spark_metadata log is what the read-back trusts)."""
     import shutil
 
-    from ..streaming.frontier_stream import run_to_completion
+    from ..streaming.frontier_stream import run_to_files
 
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
     try:
-        out = run_to_completion(df, ckpt, output_mode=output_mode)
-        spark = out.sparkSession
-        rows = out.collect()
-        schema = out.schema
-        for view in spark.catalog.listTables():
-            if view.name.startswith("stream_out_") and view.isTemporary:
-                spark.catalog.dropTempView(view.name)
-        return spark.createDataFrame(rows, schema)
+        return run_to_files(df, ckpt, out_dir, output_mode=output_mode)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 

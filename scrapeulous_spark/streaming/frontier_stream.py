@@ -196,6 +196,49 @@ def stream_fetch_timeouts(
     )
 
 
+def run_to_files(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain all available input with availableNow into a FILE sink and
+    return a DataFrame reading the sink directory back — rows never
+    round-trip through the driver (executors write parquet; the
+    returned plan is an ordinary pruned/pushed-down scan), so the same
+    drain shape works at any scale, unlike the memory-sink harness.
+
+    append mode uses the native parquet sink (its _spark_metadata
+    commit log makes the read-back exactly the committed files);
+    complete/update modes — which the file sink does not support — use
+    foreachBatch with a full overwrite per micro-batch, the standard
+    pattern for materializing complete-mode state to files: after the
+    availableNow drain the directory holds exactly the final state."""
+    if output_mode == "append":
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        def _overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            stream_df.writeStream.foreachBatch(_overwrite)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    # explicit schema: a zero-row drain leaves nothing to infer from
+    return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out_dir)
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, output_mode: str = "append"):
     """Drain all available input with availableNow and return the
     collected rows from a memory sink (test/driver harness helper)."""
