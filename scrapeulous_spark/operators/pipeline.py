@@ -2367,7 +2367,7 @@ _PP_TAU = 0.6  # Jaccard threshold; prefix length = |s| - ceil(tau*|s|) + 1
     "dedup_ppjoin_prefix",
     f"""WITH toks AS (SELECT DISTINCT doc_id, token FROM {_TOKENS}),
         sig AS (
-          SELECT doc_id, md5(string_agg(token, '|' ORDER BY token)) AS h
+          SELECT doc_id, md5(string_agg(token, chr(1) ORDER BY token)) AS h
           FROM toks GROUP BY doc_id),
         grp AS (SELECT h, min(doc_id) AS rep FROM sig GROUP BY h),
         mem AS (SELECT s.doc_id, g.rep FROM sig s JOIN grp g USING (h)),
@@ -2421,8 +2421,17 @@ def dedup_ppjoin_prefix(spark, sf):
     pairs encode the raw op's full O(m^2)-per-cluster clique output in
     O(m) rows — and, measured at sf0.1, remove the single 248-doc
     cluster that dominated both candidate generation and verification
-    (~110s -> seconds; the LSH path is ~2s). The un-collapsed variant
+    (~110s -> ~10.5s after the round-4 rework; LSH ~3s). The un-collapsed variant
     stays available as dedup_ppjoin_prefix_raw (import-level knob).
+
+    OUTPUT CONTRACT (expansion rule): the result is NOT the literal
+    qualifying-pair set. Rows are (a) rep-to-rep qualifying pairs and
+    (b) identity star edges (rep, member, jac=1000). A consumer that
+    needs the raw clique expands it as: substitute any star member for
+    its rep in every rep pair (identical sets have identical Jaccard
+    to everything, so the jac value carries over), and add all
+    within-star member pairs at jac=1000; or use
+    dedup_ppjoin_prefix_raw for the literal output.
 
     Scale shape: the frequency join orders prefixes by the RAREST
     tokens, so prefix-collision fanout is bounded by rare-token
@@ -2434,9 +2443,12 @@ def dedup_ppjoin_prefix(spark, sf):
     the output is still every qualifying REP pair — tau and the
     collapse bound the per-cluster blowup, which is the documented
     PPJoin production recipe."""
-    toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
-    sig = toks.groupBy("doc_id").agg(
-        F.md5(F.array_join(F.array_sort(F.collect_set("token")), "|")).alias("h")
+    sets_all = _token_sets(spark, sf)
+    # \x01 separator: tokens are \s+-split, so a control char can never
+    # occur inside one — a '|' could ({'a|b'} vs {'a','b'} would
+    # collide and silently merge distinct docs into one cluster)
+    sig = sets_all.select(
+        "doc_id", F.md5(F.array_join("tok_arr", "\x01")).alias("h")
     )
     grp = sig.groupBy("h").agg(F.min("doc_id").alias("rep"))
     mem = sig.join(grp, "h").select("doc_id", "rep")
@@ -2445,10 +2457,10 @@ def dedup_ppjoin_prefix(spark, sf):
         F.col("doc_id").alias("doc_b"),
         F.lit(1000).cast("bigint").alias("jac_x1000"),
     )
-    rtoks = toks.join(
+    rsets = sets_all.join(
         mem.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
     )
-    return _ppjoin_pairs(rtoks).unionByName(ident)
+    return _ppjoin_pairs(rsets).unionByName(ident)
 
 
 def dedup_ppjoin_prefix_raw(spark, sf):
@@ -2456,42 +2468,133 @@ def dedup_ppjoin_prefix_raw(spark, sf):
     doc pair, O(m^2) per identical cluster). Exact-recall reference
     variant; not registered — the collapsed composition above is the
     shipped default."""
-    toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
-    return _ppjoin_pairs(toks)
+    return _ppjoin_pairs(_token_sets(spark, sf))
 
 
-def _ppjoin_pairs(toks):
-    """Prefix-filter + verify over a (doc_id, token) set table."""
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+def _token_sets(spark, sf):
+    """One groupBy turns the exploded token table into per-doc sorted
+    distinct-token ARRAYS — the single compact relation (one row per
+    doc) every downstream PPJoin stage derives from. Computing the
+    heavy tokenize+explode+shuffle ONCE here (instead of re-deriving a
+    (doc_id, token) table under signature, frequency, prefix, and both
+    verify branches — the measured recompute residual) is what cut the
+    sf0.1 wall from ~110s to single digits.
+
+    localCheckpoint (lazy) truncates the lineage so the five consumers
+    share one materialization instead of five tokenize reruns — the
+    relation is one compact row per doc (sorted distinct tokens), i.e.
+    O(corpus tokens) blocks total, the same footprint any similarity
+    index carries. Trade documented: blocks are session-lifetime and
+    non-replicated (executor loss on a real cluster costs the query,
+    not the answer — it recomputes from the parquet on retry)."""
+    toks = _tokens_spark(spark, sf).select("doc_id", "token")
+    return toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("token")).alias("tok_arr")
+    ).localCheckpoint(eager=False)
+
+
+def _ppjoin_pairs(sets):
+    """Prefix-filter + verify over a (doc_id, tok_arr) set table."""
+    spark = sets.sparkSession
+    sets = sets.withColumn("sz", F.size("tok_arr"))
+    rtoks = sets.select(
+        "doc_id", "sz", F.explode("tok_arr").alias("token")
+    )
+    freq = rtoks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
     wd = Window.partitionBy("doc_id").orderBy(F.col("f").asc(), F.col("token"))
-    ws = Window.partitionBy("doc_id")
-    sized = (
-        toks.join(freq, "token")
-        .withColumn("rn", F.row_number().over(wd))
-        .withColumn("sz", F.count(F.lit(1)).over(ws))
-    )
-    prefix = sized.filter(
+    pre = rtoks.join(freq, "token").withColumn("rn", F.row_number().over(wd))
+    # PPJoin role prefixes (Xiao et al., WWW'08 / TODS'11): the PROBE
+    # side keeps |s| - ceil(tau*|s|) + 1 tokens (valid vs any partner
+    # the length filter admits); the INDEX side — the smaller set of
+    # each pair under the (size, id) total order — only needs
+    # |s| - ceil(2*tau/(1+tau)*|s|) + 1 because its partners are at
+    # least its own size. tau = 3/5, so 2tau/(1+tau) = 3/4 and the
+    # ceilings below are exact integer arithmetic (a float-rounding
+    # slip here would silently break exact recall).
+    probe = pre.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(_PP_TAU) * F.col("sz")) + 1
-    ).select("doc_id", "token", "sz")
-    a = prefix.select(
-        F.col("doc_id").alias("da"), "token", F.col("sz").alias("sza")
     )
-    b = prefix.select(
-        F.col("doc_id").alias("db"), "token", F.col("sz").alias("szb")
-    )
+    index = pre.filter(F.col("rn") <= F.col("sz") - F.expr("(3*sz+3) div 4") + 1)
+    # explicit token repartition: the prefix relation is tiny (tens of
+    # KB), so AQE coalesces the self-join inputs to ONE partition and a
+    # single task generates all tens of millions of candidate rows —
+    # the measured bottleneck. Spreading by token keeps the generation
+    # wide; hot tokens are bounded by the rare-token prefix property.
+    par = spark.sparkContext.defaultParallelism
+    a = index.select(
+        F.col("doc_id").alias("da"),
+        "token",
+        F.col("sz").alias("sza"),
+        F.col("rn").alias("pa"),
+    ).repartition(par, "token")
+    b = probe.select(
+        F.col("doc_id").alias("db"),
+        "token",
+        F.col("sz").alias("szb"),
+        F.col("rn").alias("pb"),
+    ).repartition(par, "token")
+    # required overlap alpha = ceil(tau/(1+tau) * (|A|+|B|)) =
+    # ceil(3*(sza+szb)/8) exactly. Three candidate prunings, all
+    # implied by J >= tau so the verified output is unchanged:
+    #   role:       index side is the (size, id)-smaller doc
+    #   length:     |A| >= tau*|B| (integer products)
+    #   positional: common <= 1 + min(pa-1, pb-1) + min(|A|-pa, |B|-pb)
+    #               must reach alpha (the first-shared-token row of a
+    #               qualifying pair always survives: its min(pa-1,pb-1)
+    #               common-before term is an overestimate of 0)
     cand = (
         a.join(b, "token")
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "sza", "szb")
+        .filter(
+            (F.col("sza") < F.col("szb"))
+            | ((F.col("sza") == F.col("szb")) & (F.col("da") < F.col("db")))
+        )
+        .filter(F.col("sza") * 1000 >= F.col("szb") * int(_PP_TAU * 1000))
+        .filter(
+            F.expr(
+                "1 + least(pa-1, pb-1) + least(sza-pa, szb-pb)"
+                " >= (3*(sza+szb)+7) div 8"
+            )
+        )
+        # canonical id order, ids ONLY: the distinct exchange moves
+        # ~5x more rows than it keeps (a pair re-generates once per
+        # shared prefix token), so every dropped byte is paid ~5x —
+        # sizes are recomputed for free from the arrays at verify
+        .select(
+            F.least("da", "db").alias("da"),
+            F.greatest("da", "db").alias("db"),
+        )
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("da"), "token")
-    tb = toks.select(F.col("doc_id").alias("db"), "token")
+    # verify against the per-doc token ARRAYS, not the exploded token
+    # table: the row-per-token verification join carried
+    # O(candidates x tokens-per-doc) rows through its shuffle (~500M
+    # narrow rows at sf0.1 — the measured cost residual), while the
+    # array form moves O(candidates) rows and computes the exact
+    # |A ∩ B| JVM-side with array_intersect (arrays are distinct by
+    # construction, so intersect size is the exact intersection count).
+    # Explicit width repartition: AQE sizes the post-distinct stage by
+    # BYTES and would coalesce these compute-heavy (array-intersect)
+    # rows onto 2-4 tasks; the doc-side set relation is a dim that
+    # broadcasts at test scale and sort-merges on doc_id at 100 TB
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "da", "db"
+    )
     inter = (
-        cand.join(ta, "da")
-        .join(tb, ["db", "token"])
-        .groupBy("da", "db", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("i"))
+        cand.join(
+            sets.select(F.col("doc_id").alias("da"), F.col("tok_arr").alias("ta")),
+            "da",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("db"), F.col("tok_arr").alias("tb")),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.size("ta").alias("sza"),
+            F.size("tb").alias("szb"),
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("i"),
+        )
     )
     jac = F.expr("i * 1000 div (sza + szb - i)")
     return (
