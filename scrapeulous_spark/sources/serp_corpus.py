@@ -105,6 +105,7 @@ _ACTIVE = {"v": 2}
 
 
 _HREF_RE = re.compile(r'href="[^"]*"')
+_ATTR_RE = re.compile(r'([a-zA-Z][\w-]*)="([^"]*)"')
 
 
 def encode_href_entities(html: str) -> str:
@@ -112,8 +113,25 @@ def encode_href_entities(html: str) -> str:
     values as '&amp;' (page.content() returns serialized HTML; the
     reference reads DECODED values via getAttribute/el.href,
     google_scraper.js:148, :174). Applied to every href value; parsers
-    must decode at attribute extraction (catalog_serp._adec)."""
-    return _HREF_RE.sub(lambda m: m.group(0).replace("&", "&amp;"), html)
+    must decode at attribute extraction (catalog_serp._adec).
+
+    Asymmetry guard (round-3 ADVICE): ONLY href values are encoded,
+    and correspondingly only href reads decode. If a future vocab/
+    template edit put a '&' into any OTHER attribute value the parsers
+    read (data-rw, data-arwt, data-iurl, src, aria-label, ...), the
+    serialized page would diverge from the reference's decoded
+    getAttribute semantics silently — so generation fails loudly on
+    that instead."""
+    html = _HREF_RE.sub(lambda m: m.group(0).replace("&", "&amp;"), html)
+    for m in _ATTR_RE.finditer(html):
+        if m.group(1).lower() != "href" and "&" in m.group(2):
+            raise ValueError(
+                "serp corpus generator: '&' in non-href attribute "
+                f'{m.group(1)}="{m.group(2)}" — either extend entity '
+                "encoding+decoding to this attribute symmetrically or "
+                "keep '&' out of its vocab"
+            )
+    return html
 
 
 def vary_junctions(html: str, j0: int) -> str:
