@@ -1122,6 +1122,96 @@ def src_warc_records(spark, sf):
     )
 
 
+@register(
+    "sink_warc_export",
+    f"""WITH recs AS (
+          SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url,
+                 'WARC/1.0' || {_NL} ||
+                 'WARC-Type: response' || {_NL} ||
+                 'WARC-Target-URI: ' || url || {_NL} ||
+                 'WARC-Record-ID: <urn:md5:' || md5(url) || '>' || {_NL} ||
+                 'Content-Type: application/http; msgtype=response' || {_NL} ||
+                 'Content-Length: ' || CAST(length(body) AS VARCHAR) ||
+                 {_NL} || {_NL} || body || {_NL} || {_NL} AS rec
+          FROM read_parquet('{_P["pages"]}'))
+       SELECT host, CAST(count(*) AS BIGINT) AS n_records,
+              CAST(sum(length(rec)) AS BIGINT) AS warc_len,
+              md5(string_agg(rec, '' ORDER BY url)) AS warc_sig
+       FROM recs GROUP BY host""",
+)
+def sink_warc_export(spark, sf):
+    """WARC/1.0 archive EXPORT — the inverse of src_warc_records
+    (round-3 verdict #8): render the page store back into well-formed
+    response records and assemble per-host shard files, completing the
+    ingest/egress story (the reference's cloud infrastructure stores
+    raw fetched HTML per job item, google_scraper.js:70; Common Crawl
+    egress ships the same WARC shape). Each record declares
+    Content-Length over its payload (character length, matching the
+    character-based substr slicing of the reader twin on both engines)
+    and records are concatenated in url order within a host shard, so
+    export -> src_warc_records-style re-ingest round-trips exactly
+    (pinned by tests/test_warc_roundtrip.py).
+
+    The driver-compared projection is the shard manifest (host,
+    n_records, warc_len, md5 of the shard text): the full text flows
+    through the md5, so a single altered byte anywhere in any record
+    fails the compare. sink_warc_shards() returns the raw shard text
+    for actual file egress.
+
+    Scale shape: records render map-side and shuffle ONCE, one row per
+    record keyed by shard — the standard partitioned-file-egress
+    exchange. Per-shard state is bounded by the sharding key's fanout
+    (per-host here; a real export adds a rolling shard index per size
+    budget so no single shard outgrows a task). No all-shard state
+    exists anywhere."""
+    return (
+        sink_warc_shards(spark, sf)
+        .select(
+            "host",
+            "n_records",
+            "warc_len",
+            F.md5("warc_text").alias("warc_sig"),
+        )
+    )
+
+
+def sink_warc_shards(spark, sf) -> DataFrame:
+    """Full per-host WARC shard text (host, n_records, warc_len,
+    warc_text) — the writable egress payload behind sink_warc_export;
+    df.write.partitionBy('host').text(...) away from real files."""
+    pages = spark.read.parquet(_P["pages"]).select("url", "body")
+    rec = F.concat(
+        F.lit("WARC/1.0\n"),
+        F.lit("WARC-Type: response\n"),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit("\n"),
+        F.lit("WARC-Record-ID: <urn:md5:"), F.md5("url"), F.lit(">\n"),
+        F.lit("Content-Type: application/http; msgtype=response\n"),
+        F.lit("Content-Length: "),
+        F.length("body").cast("string"),
+        F.lit("\n\n"),
+        F.col("body"),
+        F.lit("\n\n"),
+    )
+    recs = pages.select(
+        F.regexp_extract("url", "^https?://([^/]+)", 1).alias("host"),
+        "url",
+        rec.alias("rec"),
+    )
+    # one row per record through the exchange; url-ordered assembly via
+    # sorted struct collect (urls are unique per corpus invariant)
+    return recs.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.sum(F.length("rec")).cast("bigint").alias("warc_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("url", "rec"))),
+                lambda x: x["rec"],
+            ),
+            "",
+        ).alias("warc_text"),
+    )
+
+
 # ------------------------------------------------------------- sitemap ingest
 
 _SM = ensure_sitemaps(SMOKE)

@@ -147,3 +147,36 @@ def test_cleanest_pair_matches_sandbox_recordings():
     eff, effs = cleanest_pair_efficiency(per_level)
     # one pair: min of that pair's own runs
     assert abs(eff - 366.54 / (4 * 126.21)) < 1e-9
+
+
+def test_cleanest_pair_prefers_probe_quiet_pairs():
+    """Round-4: when any pair's legs BOTH carry quiet probe brackets,
+    the selection pool is restricted to those pairs — a contended pair
+    with a smaller normalized wall must not steer the number (the r3
+    driver record's 0.627 pair ran in a probe-flagged window). Legs
+    without brackets (older recordings) stay eligible."""
+    from bench import cleanest_pair_efficiency
+
+    quiet = {"procs1_wall_sec": 1.05, "procs4_wall_sec": 1.15}
+    noisy = {"procs1_wall_sec": 1.60, "procs4_wall_sec": 1.70}
+
+    def leg(w, probe):
+        return {"wall_sec_all_runs": [w], "probe_before": probe}
+
+    per_level = {
+        # pair 0: noisy brackets, smaller normalized wall (cost 640)
+        # pair 1: quiet brackets, larger wall (cost 730) -> must win
+        4: [leg(80.0, noisy), leg(90.0, quiet)],
+        1: [leg(320.0, noisy), leg(370.0, quiet)],
+    }
+    eff, effs = cleanest_pair_efficiency(per_level)
+    assert abs(eff - 370.0 / (4 * 90.0)) < 1e-9
+    assert effs == [1.0, round(370.0 / 360.0, 3)]
+
+    # no quiet pair at all -> fall back to every pair (cleanest wall)
+    per_level_all_noisy = {
+        4: [leg(80.0, noisy), leg(90.0, noisy)],
+        1: [leg(320.0, noisy), leg(370.0, noisy)],
+    }
+    eff2, _ = cleanest_pair_efficiency(per_level_all_noisy)
+    assert abs(eff2 - 320.0 / (4 * 80.0)) < 1e-9
