@@ -7,7 +7,9 @@ timeout at any point still records everything measured so far (round-1
 lesson: one print at the very end + driver timeout = no bench number
 at all). Final line shape:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "crawl": {"local1": {...}, "local4": {...}, "scaling_efficiency": e}}
+   "crawl": {"local1": {...}, "local4": {...}, "scaling_efficiency": e,
+             "ladder": {"1": thru, "4": thru, "8": thru, "32": thru,
+                        "eff_1_4": e, "eff_4_8": e, "eff_8_32": e}}}
 
 Time budget: $BENCH_BUDGET_SEC (default 1500). Legs are skipped when
 the remaining budget can't cover their estimated wall; quiet-window
@@ -116,8 +118,9 @@ def _idlest_cores(n: int) -> set[int]:
 
 
 def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
-    """Warm-up crawl on SMOKE (caches codegen/plan-compile fixed costs,
-    ~40s — at a real 10^10-URL frontier the one-time compile is noise),
+    """Warm-up crawl on the WARM micro corpus (caches codegen/
+    plan-compile fixed costs in ~1/4 of a SMOKE warmup's wall — at a
+    real 10^10-URL frontier the one-time compile is noise),
     then `runs` timed BENCH crawls; report min(walls). min-of-k is the
     standard defense against transient host contention (this VM has
     noisy-neighbor days where identical back-to-back runs differ 2-3x —
@@ -136,7 +139,7 @@ def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
     not the artifact."""
     from scrapeulous_spark.plans.loop import CrawlEngine
     from scrapeulous_spark.session import get_spark
-    from scrapeulous_spark.sources.corpus import BENCH, SMOKE, ensure_corpus
+    from scrapeulous_spark.sources.corpus import BENCH, WARM, ensure_corpus
 
     try:
         os.sched_setaffinity(0, _idlest_cores(cpus))
@@ -150,7 +153,12 @@ def run_crawl(cpus: int, runs: int = 2, use_bloom: bool = False) -> dict:
             return None
 
     paths = ensure_corpus(BENCH)
-    warm_paths = ensure_corpus(SMOKE)
+    # WARM not SMOKE (round 4): warmup exists to cache codegen/plan
+    # compile, which the micro corpus does in ~1/4 the wall — a
+    # cheaper pair fits a third same-window (4,1) sample inside the
+    # driver budget, which is worth more to the scaling-efficiency
+    # estimate than anything about the warmup itself
+    warm_paths = ensure_corpus(WARM)
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 8), app_name=f"bench_crawl_{cpus}")
     timings: list[float] = []
     utils: list[float | None] = []
@@ -213,7 +221,7 @@ def _probe_work(_):
     return 1
 
 
-def cpu_probe() -> dict:
+def cpu_probe(levels: tuple = (1, 4, 8, 32)) -> dict:
     """Effective-parallelism probe: wall time of N fixed ~1s work units
     on N warm processes (first map warms the pool so fork cost is not
     measured). Flat = real cores; rising = vCPU time-slicing. Idle-box
@@ -225,13 +233,20 @@ def cpu_probe() -> dict:
     import multiprocessing as mp
 
     out = {}
-    for n in (1, 4, 8, 32):
+    for n in levels:
         with mp.Pool(n) as p:
             p.map(_probe_work, range(n))  # warm the pool
             t0 = time.time()
             p.map(_probe_work, range(n))
             out[f"procs{n}_wall_sec"] = round(time.time() - t0, 2)
     return out
+
+
+def quick_probe() -> dict:
+    """Per-leg window bracket: just the 1- and 4-proc capacities (~3s
+    vs ~10s for the full probe — the full probe between every leg cost
+    more wall than a whole extra pair over a recording)."""
+    return cpu_probe((1, 4))
 
 
 def _window_quiet(p: dict) -> bool:
@@ -268,25 +283,45 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
 
 # conservative first-call wall estimates per leg (sec), refined from
-# actual walls as legs complete: subprocess JVM start + SMOKE warmup +
+# actual walls as legs complete: subprocess JVM start + WARM warmup +
 # one timed BENCH run
-_LEG_EST = {1: 320.0, 4: 130.0}
+_LEG_EST = {1: 320.0, 4: 130.0, 8: 85.0, 32: 60.0}
 
 
-def cleanest_pair_efficiency(per_level: dict) -> tuple[float, list[float]]:
+def cleanest_pair_efficiency(per_level: dict) -> tuple[float, list[float], bool]:
     """Same-window pair estimator: legs run as consecutive (4,1)
     rounds, so pair i is the i-th leg at each level. Returns (the
-    efficiency of the CLEANEST pair — smallest normalized compute wall
-    w1 + 4*w4, i.e. chosen by contention, not by ratio — and every
-    pair's efficiency for the record). Orphan legs from a half-finished
-    round are ignored."""
+    efficiency of the CLEANEST pair, every pair's efficiency for the
+    record, and whether that pair QUALIFIED). Cleanest = smallest
+    normalized compute wall w1 + 4*w4, chosen among qualified pairs
+    when any exists — never by which ratio looks best. A pair
+    qualifies when (a) both legs' probe brackets read quiet (round-3
+    driver record: the 0.627 second pair ran in a window the probes
+    had already flagged) and (b) its ratio is physically sane
+    (<= 1.02): one shared JVM cannot scale super-linearly from 1 to 4
+    threads beyond cache noise, so a higher reading can only mean the
+    1-core leg was contention-inflated — dropping it is conservative
+    (it can only LOWER the reported number). With no qualified pair,
+    fall back to all pairs and say so via the flag. Orphan legs from a
+    half-finished round are ignored."""
+    pairs = list(zip(per_level[4], per_level[1]))
     pairs_w = [
         (min(l1["wall_sec_all_runs"]), min(l4["wall_sec_all_runs"]))
-        for l4, l1 in zip(per_level[4], per_level[1])
+        for l4, l1 in pairs
     ]
     effs = [round(w1 / (4.0 * w4), 3) for w1, w4 in pairs_w]
-    w1, w4 = min(pairs_w, key=lambda p: p[0] + 4 * p[1])
-    return w1 / (4.0 * w4), effs
+
+    def quiet_leg(leg: dict) -> bool:
+        p = leg.get("probe_before")
+        return p is None or _window_quiet(p)
+
+    qualified = [
+        w for w, (l4, l1) in zip(pairs_w, pairs)
+        if quiet_leg(l4) and quiet_leg(l1) and w[0] / (4.0 * w[1]) <= 1.02
+    ]
+    pool, qual = (qualified, True) if qualified else (pairs_w, False)
+    w1, w4 = min(pool, key=lambda p: p[0] + 4 * p[1])
+    return w1 / (4.0 * w4), effs, qual
 
 
 def main():
@@ -306,14 +341,14 @@ def main():
         return budget - (time.time() - t0)
 
     crawl: dict = {}
-    per_level: dict[int, list[dict]] = {1: [], 4: []}
+    per_level: dict[int, list[dict]] = {1: [], 4: [], 8: [], 32: []}
     state = {"queries": {}, "legs_run": 0}
 
     def emit() -> None:
         """Print a COMPLETE JSON line reflecting everything measured so
         far; the driver keeps the last parseable line, so a timeout at
         any point still records all finished measurements."""
-        for n in (1, 4):
+        for n in (1, 4, 8, 32):
             if per_level[n]:
                 walls = [w for r in per_level[n] for w in r["wall_sec_all_runs"]]
                 best = min(walls)
@@ -340,15 +375,36 @@ def main():
             # normalized compute wall w1 + 4*w4 — chosen by contention,
             # not by which ratio looks best (not pass-seeking: the
             # cleanest pair can carry a lower ratio than a noisier one).
-            best_eff, effs = cleanest_pair_efficiency(per_level)
+            best_eff, effs, qual = cleanest_pair_efficiency(per_level)
             crawl["pair_efficiencies"] = effs
             crawl["scaling_efficiency"] = round(best_eff, 3)
+            # False = no pair had quiet brackets on BOTH legs and a
+            # physically sane ratio; the reported number is the best
+            # available but window-suspect — read with the probes
+            crawl["pair_qualified"] = qual
             # cross-window global-min ratio kept for transparency (a
             # LOWER bound that mixes window quality; see BENCH.md)
             crawl["scaling_efficiency_min_legs"] = round(
                 (crawl["local4"]["urls_per_sec"] / crawl["local1"]["urls_per_sec"]) / 4.0,
                 3,
             )
+        # capacity LADDER (round-3 verdict #7): min-wall throughput per
+        # level across all samples plus per-rung efficiency, recorded
+        # in the JSON every round so a regression in any rung is
+        # machine-visible — the supplementary r3 prose ladder
+        # (1->4->8->32) promoted to a contract field. The ladder is the
+        # capacity view (cross-window minima); scaling_efficiency
+        # remains the same-window pair estimator.
+        rungs = [n for n in (1, 4, 8, 32) if f"local{n}" in crawl]
+        if len(rungs) >= 2:
+            lad: dict = {
+                str(n): crawl[f"local{n}"]["urls_per_sec"] for n in rungs
+            }
+            for lo, hi in zip(rungs, rungs[1:]):
+                lad[f"eff_{lo}_{hi}"] = round(
+                    (lad[str(hi)] / lad[str(lo)]) / (hi / lo), 3
+                )
+            crawl["ladder"] = lad
         if "local4" in crawl:
             # the 4N-core leg IS the throughput headline; report it as
             # soon as it exists so a driver kill before the (3x longer)
@@ -401,6 +457,12 @@ def main():
                 text=True,
                 timeout=min(300.0, remaining() - 60),
             )
+            # a subprocess that died after printing partial output must
+            # skip the leg, not record a bogus entry (round-3 ADVICE)
+            if out.returncode != 0:
+                raise RuntimeError(
+                    f"rc={out.returncode}: {out.stderr.strip()[-300:]}"
+                )
             state["serp_extract"] = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — bench must degrade, not die
             sys.stderr.write(f"serp_extract leg skipped: {e}\n")
@@ -420,6 +482,7 @@ def main():
         est = _LEG_EST[n]
         if remaining() < est * 1.1 + 30:
             return False
+        prb = quick_probe()  # per-leg window bracket, ~3s
         t = time.time()
         # own session/process group: on timeout the WHOLE tree dies —
         # subprocess.run's timeout kills only the direct python child,
@@ -434,7 +497,9 @@ def main():
         )
         try:
             out, _err = proc.communicate(timeout=max(60.0, remaining()))
-            per_level[n].append(json.loads(out.strip().splitlines()[-1]))
+            per_level[n].append(
+                {**json.loads(out.strip().splitlines()[-1]), "probe_before": prb}
+            )
         except Exception as e:  # timeout/crash: keep what's measured
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
@@ -448,10 +513,13 @@ def main():
         emit()
         return True
 
-    def eff_from_walls() -> float:
+    def eff_from_walls() -> tuple[float, bool]:
         """The retry-loop stop criterion uses the same estimator emit()
-        reports: the cleanest same-window (4,1) pair."""
-        return cleanest_pair_efficiency(per_level)[0]
+        reports: the cleanest same-window (4,1) pair + whether it
+        qualified (an unqualified reading must not stop the sampling —
+        the r4 shakedown run stopped on a window-inflated 1.072)."""
+        eff, _, qual = cleanest_pair_efficiency(per_level)
+        return eff, qual
 
     # Bounded quiet-window wait (both 1-proc AND 4-proc capacity must be
     # healthy, see _window_quiet) — but only spend waiting time the
@@ -484,17 +552,35 @@ def main():
     leg(1)
     pairs = 1
     while per_level[1] and per_level[4] and pairs < 4:
-        if pairs >= 2 and eff_from_walls() >= 0.85:
+        eff, qual = eff_from_walls()
+        if pairs >= 2 and qual and eff >= 0.85:
+            break
+        # a WHOLE pair must fit or the leading leg(4) burns budget for
+        # an orphan the pair estimator ignores
+        if remaining() < (_LEG_EST[4] + _LEG_EST[1]) * 1.1 + 60:
             break
         # a retry inside the same degraded window just resamples the
         # degradation — wait (bounded, budget-aware) for capacity first
         for _ in range(3):
-            if _window_quiet(cpu_probe()) or remaining() < _LEG_EST[1] + _LEG_EST[4] + 90:
+            if _window_quiet(quick_probe()) or remaining() < _LEG_EST[1] + _LEG_EST[4] + 90:
                 break
             time.sleep(60)
         if not (leg(4) and leg(1)):
             break
         pairs += 1
+
+    # capacity LADDER rungs (after the criterion pairs — never instead
+    # of them): one local[8] and one local[32] leg when budget remains;
+    # emit() folds them into crawl.ladder with per-rung efficiencies.
+    # Bounded quiet-wait first: a rung measured once in a flagged
+    # window (r4 shakedown: 8-core rung read 0.649 vs 0.81 clean) is
+    # worse than a slightly later clean one.
+    for _ in range(2):
+        if _window_quiet(quick_probe()) or remaining() < _LEG_EST[8] + _LEG_EST[32] + 90:
+            break
+        time.sleep(60)
+    leg(8)
+    leg(32)
 
     # before/after probes bracket the run: if either shows the box
     # contended (procs1 well above the ~1.07s idle baseline), absolute

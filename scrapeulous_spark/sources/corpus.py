@@ -71,6 +71,11 @@ class CorpusParams:
 
 
 SMOKE = CorpusParams()
+# bench warmup corpus: exercises every engine plan shape (multi-depth
+# crawl reaching terminal-depth drain) with minimal rows, so a bench
+# leg's warmup run caches codegen/plan-compile in ~1/4 the wall of a
+# SMOKE warmup — warmup fidelity needs the PLANS compiled, not data
+WARM = CorpusParams(n_images=16, n_hosts=4, n_pages=60, n_seeds=3)
 CORRECTNESS = CorpusParams(n_images=5000, n_hosts=24, n_pages=12000, n_seeds=120)
 # BENCH v2 (2026-08-18): 450k pages / 90k seeds, up from 300k/60k. The
 # sizing rule (BASELINE.md) is that a timed crawl leg must run >= 60s

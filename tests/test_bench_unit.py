@@ -129,9 +129,10 @@ def test_cleanest_pair_efficiency_selects_by_contention_not_ratio():
         4: [leg(80.0), leg(100.0), leg(70.0)],  # 3rd leg is an orphan
         1: [leg(320.0), leg(450.0)],
     }
-    eff, effs = cleanest_pair_efficiency(per_level)
+    eff, effs, qual = cleanest_pair_efficiency(per_level)
     assert effs == [1.0, 1.125]
     assert eff == 1.0  # clean pair wins despite the lower ratio
+    assert qual  # 1.125 > 1.02 is physically insane and excluded; 1.0 qualifies
 
 
 def test_cleanest_pair_matches_sandbox_recordings():
@@ -144,9 +145,10 @@ def test_cleanest_pair_matches_sandbox_recordings():
         4: [{"wall_sec_all_runs": [126.21, 140.9]}],
         1: [{"wall_sec_all_runs": [366.54]}],
     }
-    eff, effs = cleanest_pair_efficiency(per_level)
+    eff, effs, qual = cleanest_pair_efficiency(per_level)
     # one pair: min of that pair's own runs
     assert abs(eff - 366.54 / (4 * 126.21)) < 1e-9
+    assert qual
 
 
 def test_cleanest_pair_prefers_probe_quiet_pairs():
@@ -165,18 +167,31 @@ def test_cleanest_pair_prefers_probe_quiet_pairs():
 
     per_level = {
         # pair 0: noisy brackets, smaller normalized wall (cost 640)
-        # pair 1: quiet brackets, larger wall (cost 730) -> must win
+        # pair 1: quiet brackets, larger wall (cost 715) -> must win
         4: [leg(80.0, noisy), leg(90.0, quiet)],
-        1: [leg(320.0, noisy), leg(370.0, quiet)],
+        1: [leg(320.0, noisy), leg(355.0, quiet)],
     }
-    eff, effs = cleanest_pair_efficiency(per_level)
-    assert abs(eff - 370.0 / (4 * 90.0)) < 1e-9
-    assert effs == [1.0, round(370.0 / 360.0, 3)]
+    eff, effs, qual = cleanest_pair_efficiency(per_level)
+    assert abs(eff - 355.0 / (4 * 90.0)) < 1e-9
+    assert qual
+    assert effs == [1.0, round(355.0 / 360.0, 3)]
 
-    # no quiet pair at all -> fall back to every pair (cleanest wall)
+    # no quiet pair at all -> fall back to every pair (cleanest wall),
+    # flagged unqualified
     per_level_all_noisy = {
         4: [leg(80.0, noisy), leg(90.0, noisy)],
         1: [leg(320.0, noisy), leg(370.0, noisy)],
     }
-    eff2, _ = cleanest_pair_efficiency(per_level_all_noisy)
+    eff2, _, qual2 = cleanest_pair_efficiency(per_level_all_noisy)
     assert abs(eff2 - 320.0 / (4 * 80.0)) < 1e-9
+    assert not qual2
+
+    # quiet brackets but a super-linear (>1.02) ratio: the 1-core leg
+    # was contention-inflated — the pair must not qualify
+    per_level_insane = {
+        4: [leg(80.0, quiet)],
+        1: [leg(360.0, quiet)],
+    }
+    eff3, _, qual3 = cleanest_pair_efficiency(per_level_insane)
+    assert abs(eff3 - 360.0 / (4 * 80.0)) < 1e-9
+    assert not qual3
