@@ -60,7 +60,7 @@ def test_training_pipeline_extras_present():
 
 
 def test_query_baseline_names_still_registered():
-    """QUERY_BASELINE.json freezes the round-2 catalog so later
+    """QUERY_BASELINE.json freezes the round-3 catalog so later
     additions sort behind the never-verified backlog; a rename/removal
     of a baseline query would silently corrupt that ordering."""
     import json
@@ -71,4 +71,4 @@ def test_query_baseline_names_still_registered():
     qs = set(E.queries())
     missing = [n for n in baseline["names"] if n not in qs]
     assert not missing, f"baseline queries renamed/removed: {missing}"
-    assert len(baseline["names"]) == 168
+    assert len(baseline["names"]) == 173
