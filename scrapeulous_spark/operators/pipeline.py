@@ -283,25 +283,38 @@ def dedup_ngram_jaccard(spark, sf):
     verdict's one flagged scale-killer."""
     from .catalog import REGISTRY
 
-    pairs = REGISTRY["dedup_lsh_pairs"].spark(spark, sf)
-    toks = _tokens_spark(spark, sf).select("doc_id", "token").distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        pairs.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            toks.select(F.col("doc_id").alias("doc_b"), "token"),
-            ["doc_b", "token"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    pairs = REGISTRY["dedup_lsh_pairs"].spark(spark, sf).select("doc_a", "doc_b")
+    # array-based verification (same rework as dedup_ppjoin_prefix,
+    # round 4): the exploded-token verify join moved
+    # O(pairs x tokens-per-doc) rows (~900M at sf0.1 — measured
+    # 16.6s); joining the per-doc sorted-set ARRAYS moves O(pairs)
+    # rows and computes the exact |A ∩ B| / sizes JVM-side. Explicit
+    # width on the pair relation for the compute-heavy intersect
+    # stage (AQE sizes by bytes, array_intersect costs CPU per row).
+    sets = _token_sets(spark, sf)
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    inter = (
+        pairs.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("tok_arr").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("tok_arr").alias("tb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("c"),
+            F.size("ta").alias("na"),
+            F.size("tb").alias("nb"),
+        )
+    )
     jac = F.floor(1000.0 * F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).cast("bigint")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard_x1000"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard_x1000"))
         .filter(F.col("jaccard_x1000") >= 600)
     )
 
