@@ -361,6 +361,11 @@ def main():
                     "wall_sec": round(best, 2),
                     "wall_sec_all_runs": [round(w, 2) for w in walls],
                     "pinned_util_all_runs": utils,
+                    # one bracket per LEG in order — the evidence the
+                    # pair-qualification rule reads, kept visible
+                    "probes_all_legs": [
+                        r.get("probe_before") for r in per_level[n]
+                    ],
                     "noisy_host": bool(max(walls) > 1.5 * min(walls)),
                     "urls_per_sec": round(first["urls_fetched"] / best, 2),
                 }
