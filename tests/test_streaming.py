@@ -357,3 +357,62 @@ def test_stream_stream_timeout_left_outer(spark):
     want = {(i, True, 200) for (i, _u, _t) in reqs if i % 2 == 0}
     want |= {(i, False, None) for (i, _u, _t) in reqs if i % 2 == 1}
     assert got == want
+
+
+def test_run_to_files_matches_memory_drain_and_handles_empty(spark, tmp_path):
+    """The file-sink drain (round 4 — what the stream_* catalog queries
+    ship through) must return exactly what the memory-sink harness
+    returns, in both sink modes, and tolerate a zero-row drain (no
+    committed files: the explicit read schema is what makes the empty
+    directory readable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapeulous_spark.streaming.frontier_stream import (
+        run_to_completion,
+        run_to_files,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())}), str(src / "a.parquet")
+    )
+    stream = spark.readStream.schema("k long").parquet(str(src))
+    agg = stream.groupBy("k").count()
+
+    mem = {
+        (r["k"], r["count"])
+        for r in run_to_completion(
+            agg, str(tmp_path / "ck_mem"), output_mode="complete"
+        ).collect()
+    }
+    filed = {
+        (r["k"], r["count"])
+        for r in run_to_files(
+            agg,
+            str(tmp_path / "ck_file"),
+            str(tmp_path / "out_complete"),
+            output_mode="complete",
+        ).collect()
+    }
+    assert filed == mem == {(1, 1), (2, 1), (3, 1)}
+
+    # append mode through the native parquet sink
+    out = run_to_files(
+        stream.filter("k > 1"),
+        str(tmp_path / "ck_app"),
+        str(tmp_path / "out_append"),
+        output_mode="append",
+    )
+    assert {r["k"] for r in out.collect()} == {2, 3}
+
+    # zero-row drain: filter matches nothing -> no data files committed
+    empty = run_to_files(
+        stream.filter("k > 99"),
+        str(tmp_path / "ck_empty"),
+        str(tmp_path / "out_empty"),
+        output_mode="append",
+    )
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == ["k"]
