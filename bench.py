@@ -529,12 +529,19 @@ def main():
     # Bounded quiet-window wait (both 1-proc AND 4-proc capacity must be
     # healthy, see _window_quiet) — but only spend waiting time the
     # budget can afford after the first interleaved pair's estimate.
+    # TWO consecutive quiet readings ~45s apart are required: the r4
+    # clean-window attempt launched on a single quiet probe and the
+    # window collapsed inside the first leg (probe 1.21 -> 2.03 within
+    # a minute); demanding persistence costs <1 min and filters the
+    # sub-minute windows that waste a whole 500s pair.
     probes = [cpu_probe()]
-    while (
-        not _window_quiet(probes[-1])
-        and len(probes) < 6
-        and remaining() > _LEG_EST[1] + _LEG_EST[4] + 120
-    ):
+    while len(probes) < 8 and remaining() > _LEG_EST[1] + _LEG_EST[4] + 180:
+        if _window_quiet(probes[-1]):
+            time.sleep(45)
+            probes.append(cpu_probe())
+            if _window_quiet(probes[-1]):
+                break
+            continue
         time.sleep(60)
         probes.append(cpu_probe())
     crawl["cpu_probe_before"] = probes[-1]
