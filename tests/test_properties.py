@@ -439,3 +439,61 @@ def test_ppjoin_prefix_filter_has_no_false_negatives(doc_sets):
                 assert prefixes[i] & prefixes[j], (
                     f"J={jac:.2f} pair with disjoint prefixes: {a} {b}"
                 )
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_role_prefixes_and_positional_filter_exact(doc_sets):
+    """Round-4 candidate rule soundness: dedup_ppjoin_prefix now prunes
+    with THREE extra filters beyond the symmetric prefix — role
+    prefixes (index side = the (size, id)-smaller doc keeps only
+    |s| - ceil(2tau/(1+tau)|s|) + 1 tokens), the integer length filter,
+    and the per-row positional filter against
+    alpha = ceil(tau/(1+tau)(|A|+|B|)). Exact recall demands that for
+    EVERY pair with J >= tau at least one shared token passes the whole
+    conjunction exactly as the Spark predicate computes it (integer
+    arithmetic replicated verbatim; tau = 3/5). The cross-engine
+    compare cannot catch a pruning bug here — the DuckDB twin does not
+    implement these filters — so this pure-Python replica is the
+    gate."""
+    from collections import Counter
+
+    freq = Counter(t for s in doc_sets for t in s)
+    docs = []  # (size, idx, ordered tokens with 1-based positions)
+    for idx, s in enumerate(doc_sets):
+        ordered = sorted(s, key=lambda t: (freq[t], t))
+        docs.append((len(s), idx, {t: p + 1 for p, t in enumerate(ordered)}))
+
+    def survives(small, big):
+        sza, _, pos_a = small
+        szb, _, pos_b = big
+        if sza * 1000 < szb * 600:  # length filter
+            return False
+        idx_len = sza - -(-(3 * sza) // 4) + 1   # |s| - ceil(3s/4) + 1
+        probe_len = szb - -(-(3 * szb) // 5) + 1  # |s| - ceil(3s/5) + 1
+        alpha = (3 * (sza + szb) + 7) // 8        # ceil(3(a+b)/8)
+        for t, pa in pos_a.items():
+            if pa > idx_len:
+                continue
+            pb = pos_b.get(t)
+            if pb is None or pb > probe_len:
+                continue
+            if 1 + min(pa - 1, pb - 1) + min(sza - pa, szb - pb) >= alpha:
+                return True
+        return False
+
+    for i in range(len(doc_sets)):
+        for j in range(i + 1, len(doc_sets)):
+            a, b = doc_sets[i], doc_sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.6:
+                small, big = sorted([docs[i], docs[j]])[:2]
+                assert survives(small, big), (
+                    f"J={jac:.2f} pair pruned by the candidate rule: {a} {b}"
+                )
