@@ -1152,6 +1152,17 @@ def sink_warc_export(spark, sf):
     export -> src_warc_records-style re-ingest round-trips exactly
     (pinned by tests/test_warc_roundtrip.py).
 
+    KNOWN DIVERGENCE from the WARC/1.0 spec (ISO 28500), deliberate:
+    the spec requires CRLF line endings and Content-Length as the
+    OCTET count of the payload block; this exporter emits LF and a
+    CHARACTER count (identical only for ASCII bodies). Both twins and
+    the src_warc_records reader share the LF/char framing, so the
+    round-trip is exact within this repo, but the shards are not
+    consumable by external WARC tooling as-is. A spec-faithful export
+    is the same plan with {_NL} -> CHR(13)||CHR(10) and length() ->
+    octet_length()/encode(); kept LF/char here because the reader twin
+    and the r4 driver record certify this exact framing.
+
     The driver-compared projection is the shard manifest (host,
     n_records, warc_len, md5 of the shard text): the full text flows
     through the md5, so a single altered byte anywhere in any record

@@ -164,6 +164,26 @@ def _as_stream_dir(parquet_file: str) -> str:
     return d
 
 
+_SINK_ROOT: list[str] = []  # lazily-created session root, purged atexit
+
+
+def _sink_root() -> str:
+    """One process-lifetime root for all stream sink directories,
+    removed at interpreter exit.  The sinks cannot be deleted eagerly
+    (the DataFrame _drain returns is a LAZY scan over the directory),
+    but parenting them here bounds the leak to the process lifetime
+    instead of accreting stream_sink_* dirs in /tmp across a long
+    driver+bench+test session (round-4 advice, catalog_stream.py:181)."""
+    if not _SINK_ROOT:
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="stream_sinks_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SINK_ROOT.append(root)
+    return _SINK_ROOT[0]
+
+
 def _drain(df, output_mode: str = "append"):
     """Drain the bounded stream through a FILE sink (round-3 verdict
     #4: the memory-sink drain collect()ed every drained row into the
@@ -172,13 +192,14 @@ def _drain(df, output_mode: str = "append"):
     the executors and hands back a plain scan over the sink directory,
     so the drained result is never driver-materialized; the checkpoint
     tempdir is released once the drain commits (the sink's own
-    _spark_metadata log is what the read-back trusts)."""
+    _spark_metadata log is what the read-back trusts).  Sink dirs live
+    under one atexit-purged session root — see _sink_root."""
     import shutil
 
     from ..streaming.frontier_stream import run_to_files
 
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_", dir=_sink_root())
     try:
         return run_to_files(df, ckpt, out_dir, output_mode=output_mode)
     finally:

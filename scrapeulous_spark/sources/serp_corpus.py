@@ -106,6 +106,7 @@ _ACTIVE = {"v": 2}
 
 _HREF_RE = re.compile(r'href="[^"]*"')
 _ATTR_RE = re.compile(r'([a-zA-Z][\w-]*)="([^"]*)"')
+_TAG_RE = re.compile(r"<[^>]*>")
 
 
 def encode_href_entities(html: str) -> str:
@@ -121,16 +122,20 @@ def encode_href_entities(html: str) -> str:
     read (data-rw, data-arwt, data-iurl, src, aria-label, ...), the
     serialized page would diverge from the reference's decoded
     getAttribute semantics silently — so generation fails loudly on
-    that instead."""
+    that instead.  The guard scans only inside tag spans ('<...>'),
+    so attribute-shaped substrings in visible TEXT content (e.g. the
+    literal snippet text foo="a&b") cannot false-positive it
+    (round-4 ADVICE, serp_corpus.py:128)."""
     html = _HREF_RE.sub(lambda m: m.group(0).replace("&", "&amp;"), html)
-    for m in _ATTR_RE.finditer(html):
-        if m.group(1).lower() != "href" and "&" in m.group(2):
-            raise ValueError(
-                "serp corpus generator: '&' in non-href attribute "
-                f'{m.group(1)}="{m.group(2)}" — either extend entity '
-                "encoding+decoding to this attribute symmetrically or "
-                "keep '&' out of its vocab"
-            )
+    for tag in _TAG_RE.finditer(html):
+        for m in _ATTR_RE.finditer(tag.group(0)):
+            if m.group(1).lower() != "href" and "&" in m.group(2):
+                raise ValueError(
+                    "serp corpus generator: '&' in non-href attribute "
+                    f'{m.group(1)}="{m.group(2)}" — either extend entity '
+                    "encoding+decoding to this attribute symmetrically or "
+                    "keep '&' out of its vocab"
+                )
     return html
 
 

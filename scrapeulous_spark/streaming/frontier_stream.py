@@ -210,10 +210,23 @@ def run_to_files(
 
     append mode uses the native parquet sink (its _spark_metadata
     commit log makes the read-back exactly the committed files);
-    complete/update modes — which the file sink does not support — use
-    foreachBatch with a full overwrite per micro-batch, the standard
-    pattern for materializing complete-mode state to files: after the
-    availableNow drain the directory holds exactly the final state."""
+    complete mode — which the file sink does not support — uses
+    foreachBatch with a full overwrite per micro-batch: each complete
+    batch carries the ENTIRE result state, so after the availableNow
+    drain the directory holds exactly the final state.
+
+    update mode is rejected: an update batch carries only the keys
+    CHANGED in that micro-batch, so overwrite-per-batch would silently
+    drop keys updated earlier and absent from the last batch.  A
+    correct file materialization would need append-with-batch_id plus
+    last-per-key on read-back; no caller needs it, so refuse rather
+    than ship the trap."""
+    if output_mode == "update":
+        raise ValueError(
+            "run_to_files does not support output_mode='update': "
+            "overwrite-per-batch loses keys not present in the final "
+            "micro-batch (use append or complete)"
+        )
     if output_mode == "append":
         q = (
             stream_df.writeStream.format("parquet")

@@ -232,3 +232,24 @@ def test_markup_variance_invisible_to_extractors():
         r1 = sorted(map(repr, con.execute(sql1).fetchall()))
         assert r2 == r1, f"{name}: variance changed extraction output"
         assert len(r2) > 0, name
+
+
+def test_href_entity_guard_scoped_to_tags():
+    """The non-href '&' asymmetry guard must fire on real attributes
+    inside tags but NOT on attribute-shaped substrings in visible text
+    content (round-4 ADVICE, serp_corpus.py:128)."""
+    import pytest
+
+    from scrapeulous_spark.sources.serp_corpus import encode_href_entities
+
+    # attr-shaped text content with '&' is fine — it is not an attribute
+    ok = '<span class="st">the literal text foo="a&amp;b" appears</span>'
+    assert encode_href_entities(ok) == ok
+
+    # a real non-href attribute carrying '&' still fails loudly
+    with pytest.raises(ValueError, match="data-rw"):
+        encode_href_entities('<a data-rw="x&y">t</a>')
+
+    # href values are entity-encoded (the E-class serializer behavior)
+    got = encode_href_entities('<a href="https://e.org/?a=1&b=2">t</a>')
+    assert 'href="https://e.org/?a=1&amp;b=2"' in got

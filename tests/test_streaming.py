@@ -416,3 +416,19 @@ def test_run_to_files_matches_memory_drain_and_handles_empty(spark, tmp_path):
     )
     assert empty.count() == 0
     assert empty.schema.fieldNames() == ["k"]
+
+
+def test_run_to_files_rejects_update_mode(tmp_path):
+    """update-mode batches carry only the keys CHANGED in that batch,
+    so the overwrite-per-batch file materialization would silently drop
+    keys updated in earlier micro-batches (round-4 ADVICE,
+    frontier_stream.py:227) — run_to_files must refuse it up front."""
+    import pytest
+
+    from scrapeulous_spark.streaming.frontier_stream import run_to_files
+
+    with pytest.raises(ValueError, match="update"):
+        run_to_files(
+            None, str(tmp_path / "ck"), str(tmp_path / "out"),
+            output_mode="update",
+        )

@@ -60,9 +60,10 @@ def test_training_pipeline_extras_present():
 
 
 def test_query_baseline_names_still_registered():
-    """QUERY_BASELINE.json freezes the round-3 catalog so later
-    additions sort behind the never-verified backlog; a rename/removal
-    of a baseline query would silently corrupt that ordering."""
+    """QUERY_BASELINE.json freezes the round-4 catalog (round-3's 173
+    plus sink_warc_export) so later additions sort behind the
+    never-verified backlog; a rename/removal of a baseline query would
+    silently corrupt that ordering."""
     import json
 
     import __spark_entry__ as E
@@ -71,4 +72,4 @@ def test_query_baseline_names_still_registered():
     qs = set(E.queries())
     missing = [n for n in baseline["names"] if n not in qs]
     assert not missing, f"baseline queries renamed/removed: {missing}"
-    assert len(baseline["names"]) == 173
+    assert len(baseline["names"]) == 174

@@ -80,3 +80,58 @@ def test_manifest_sig_covers_full_text(spark, shards):
         host: hashlib.md5(row["warc_text"].encode()).hexdigest()
         for host, row in shards.items()
     }
+
+
+def test_file_level_egress_reingest(spark, shards, tmp_path):
+    """Round-4 verdict #4: close the egress loop with REAL files.
+    Write the shard text via df.write.partitionBy('host').text(...)
+    (the documented egress path, sink_warc_shards docstring), re-read
+    the files, and re-frame them with the src_warc_records slicing
+    contract (split on the record header, locate the blank line, substr
+    by the DECLARED Content-Length) — every (url, body) must survive
+    the disk round-trip exactly.
+
+    The text sink appends one line separator after the value; the
+    framing tolerates it (it trails the final record's '\n\n' trailer),
+    which the explicit file-byte assertion pins."""
+    from pyspark.sql import functions as F
+
+    from scrapeulous_spark.operators.catalog_engine import sink_warc_shards
+
+    out = str(tmp_path / "warc_out")
+    sink_warc_shards(spark, "unused").select(
+        "host", F.col("warc_text").alias("value")
+    ).write.partitionBy("host").text(out)
+
+    # file bytes = shard text + the sink's trailing line separator
+    files = spark.read.text(out, wholetext=True).collect()
+    assert {r["value"] for r in files} == {
+        row["warc_text"] + "\n" for row in shards.values()
+    }
+
+    # re-frame from the files with the src_warc_records contract
+    recs = spark.read.text(out, wholetext=True).select(
+        F.explode(
+            F.filter(
+                F.split("value", "WARC/1\\.0\n"), lambda x: x != F.lit("")
+            )
+        ).alias("chunk")
+    )
+    hdr_end = F.locate("\n\n", F.col("chunk"))
+    declared = F.regexp_extract("chunk", r"Content-Length: (\d+)", 1).cast("int")
+    parsed = recs.select(
+        F.regexp_extract("chunk", r"WARC-Target-URI: (\S+)", 1).alias("url"),
+        F.col("chunk").substr(hdr_end + F.lit(2), declared).alias("body"),
+        (
+            F.col("chunk").substr(hdr_end + F.lit(2) + declared, F.lit(2))
+            == "\n\n"
+        ).alias("well_formed"),
+    ).collect()
+
+    pages = pq.read_table(ensure_corpus(SMOKE)["pages"], columns=["url", "body"])
+    expect = {
+        u: (b or "")
+        for u, b in zip(pages["url"].to_pylist(), pages["body"].to_pylist())
+    }
+    assert all(r["well_formed"] for r in parsed)
+    assert {r["url"]: r["body"] for r in parsed} == expect
