@@ -11,7 +11,14 @@ python tools/make_dist.py >/dev/null
 python -c "from scrapeulous_spark.sources.corpus import BENCH, ensure_corpus; ensure_corpus(BENCH)" >/dev/null
 
 run () {
-  "$SUBMIT" --master "local[$1]" \
+  # Pin the whole leg (JVM + python workers, which inherit affinity) to
+  # exactly $1 of the idlest cores — same honesty rule as bench.py
+  # run_crawl: unpinned, "local[1]" measurably free-rides to ~1.5
+  # cores (GC/python workers overlap the task thread on spare
+  # physical cores) and deflates the N->4N ratio, which a real pinned
+  # executor (YARN/K8s cpu limit) does not get.
+  CORES=$(python -c "import bench; print(','.join(map(str, sorted(bench._idlest_cores($1)))))")
+  taskset -c "$CORES" "$SUBMIT" --master "local[$1]" \
     --conf spark.ui.enabled=false \
     --conf spark.sql.shuffle.partitions="$1" \
     --conf spark.sql.adaptive.enabled=true \
