@@ -432,3 +432,17 @@ def test_run_to_files_rejects_update_mode(tmp_path):
             None, str(tmp_path / "ck"), str(tmp_path / "out"),
             output_mode="update",
         )
+
+
+def test_stream_sink_root_is_session_scoped():
+    """Sink dirs parent under ONE process-lifetime root (registered
+    for atexit cleanup) so repeated drains cannot accrete unbounded
+    stream_sink_* tempdirs across a long session (round-4 ADVICE,
+    catalog_stream.py:181)."""
+    import os
+
+    from scrapeulous_spark.operators.catalog_stream import _sink_root
+
+    r1, r2 = _sink_root(), _sink_root()
+    assert r1 == r2 and os.path.isdir(r1)
+    assert os.path.basename(r1).startswith("stream_sinks_")
