@@ -80,28 +80,51 @@ def leg(cpus: int, params, runs: int) -> dict:
     }
 
 
-def main():
+def _params(scale: int):
     from scrapeulous_spark.sources.corpus import BENCH
 
+    # scale pages/seeds (what sizes the per-depth waves); images/hosts
+    # kept at BENCH values so the skew profile and payload costs match
+    return dataclasses.replace(
+        BENCH,
+        n_pages=BENCH.n_pages * scale,
+        n_seeds=BENCH.n_seeds * scale,
+    )
+
+
+def main():
     args = sys.argv[1:]
     scale = int(args[args.index("--scale") + 1]) if "--scale" in args else 2
+    runs = int(args[args.index("--runs") + 1]) if "--runs" in args else 2
+
+    if "--leg" in args:  # subprocess mode: one leg, fresh JVM
+        n = int(args[args.index("--leg") + 1])
+        print(json.dumps(leg(n, _params(scale), runs)))
+        return
+
     cpus = (
         [int(x) for x in args[args.index("--cpus") + 1].split(",")]
         if "--cpus" in args
         else [8, 32]
     )
-    runs = int(args[args.index("--runs") + 1]) if "--runs" in args else 2
-
-    # scale pages/seeds (what sizes the per-depth waves); images/hosts
-    # kept at BENCH values so the skew profile and payload costs match
-    params = dataclasses.replace(
-        BENCH,
-        n_pages=BENCH.n_pages * scale,
-        n_seeds=BENCH.n_seeds * scale,
-    )
+    params = _params(scale)
     out = {"scale": scale, "corpus_tag": params.tag, "legs": {}}
     for n in cpus:
-        out["legs"][str(n)] = leg(n, params, runs)
+        # EACH leg in a fresh subprocess: sched_setaffinity(0, ...)
+        # changes only the calling python process — a local-mode JVM
+        # forked during an earlier, narrower-pinned leg KEEPS that
+        # affinity, silently capping every later leg (measured: a
+        # 32-core leg after an 8-core leg in one process ran at util
+        # 0.24 = the inherited 8-core mask). bench.py isolates legs
+        # the same way.
+        import subprocess
+
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--leg", str(n), "--scale", str(scale), "--runs", str(runs),
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        out["legs"][str(n)] = json.loads(res.stdout.strip().splitlines()[-1])
         print(json.dumps(out["legs"][str(n)]), flush=True)
     ks = sorted(int(k) for k in out["legs"])
     for a, b in zip(ks, ks[1:]):
